@@ -1,0 +1,221 @@
+"""Flax (linen) building blocks for the YOLOv8/MGA graph — NHWC, bf16-friendly.
+
+Functional re-implementations of the reference blocks
+(`/root/reference/mga_yolo/external/ultralytics/ultralytics/nn/modules/conv.py:38` Conv,
+`block.py:216` SPPF, `block.py:294` C2f, `block.py:329` C3, `block.py:470` Bottleneck,
+`block.py:1107` C3k2, `block.py:1131` C3k), designed TPU-first:
+
+* NHWC activations / HWIO kernels (XLA's preferred conv layout on TPU).
+* Explicit symmetric padding (k//2) so geometry matches the reference's
+  torch ``autopad`` exactly (torch pads symmetrically; XLA "SAME" does not
+  for even inputs with stride 2).
+* Static shapes; everything traces once under ``jit``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Kaiming-normal (fan_out) — used by the reference mask head / SPADE init
+kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def autopad(k: int, p: int | None = None, d: int = 1) -> int:
+    """'Same'-shape padding, matching reference conv.py:29."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    return k // 2 if p is None else p
+
+
+class ConvBN(nn.Module):
+    """Conv2d (no bias) + BatchNorm + SiLU, the reference's `Conv` (conv.py:38).
+
+    Attributes:
+        c2: output channels.
+        k: square kernel size.
+        s: stride.
+        p: explicit padding (None -> k//2).
+        g: feature groups (g == c_in gives a depthwise conv, reference DWConv).
+        d: dilation.
+        act: apply SiLU when True, identity otherwise.
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    d: int = 1
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pad = autopad(self.k, self.p, self.d)
+        x = nn.Conv(
+            features=self.c2,
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=self.g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=False,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(x)
+        return nn.silu(x) if self.act else x
+
+
+class DWConv(nn.Module):
+    """Depthwise Conv+BN+SiLU (reference conv.py:195)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        import math
+
+        g = math.gcd(x.shape[-1], self.c2)
+        return ConvBN(self.c2, self.k, self.s, g=g, act=self.act, name="dw")(x, train)
+
+
+class Bottleneck(nn.Module):
+    """Standard bottleneck (reference block.py:470)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: tuple[int, int] = (3, 3)
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.c2 * self.e)
+        y = ConvBN(c_, self.k[0], 1, name="cv1")(x, train)
+        y = ConvBN(self.c2, self.k[1], 1, g=self.g, name="cv2")(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class C2f(nn.Module):
+    """Fast CSP bottleneck with 2 convs (reference block.py:294)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(
+                Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, name=f"m{i}")(ys[-1], train)
+            )
+        return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs (reference block.py:329)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    k: int = 3  # inner bottleneck kernel (C3k uses (k,k); plain C3 uses (1,3))
+    c3k_kernels: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            kk = (self.k, self.k) if self.c3k_kernels else (1, 3)
+            a = Bottleneck(c_, self.shortcut, self.g, k=kk, e=1.0, name=f"m{i}")(a, train)
+        b = ConvBN(c_, 1, 1, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, 1, name="cv3")(jnp.concatenate([a, b], axis=-1), train)
+
+
+class C3k2(nn.Module):
+    """C2f whose inner blocks are C3k (YOLO11 neck block, reference block.py:1107).
+
+    With ``c3k=False`` the inner block is a plain Bottleneck with e=0.5
+    (NOT e=1.0 like C2f's — see reference block.py:1126).
+    """
+
+    c2: int
+    n: int = 1
+    c3k: bool = False
+    e: float = 0.5
+    g: int = 1
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            if self.c3k:
+                blk = C3(c, 2, self.shortcut, self.g, c3k_kernels=True, k=3, name=f"m{i}")
+            else:
+                blk = Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=0.5, name=f"m{i}")
+            ys.append(blk(ys[-1], train))
+        return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling — fast (reference block.py:216)."""
+
+    c2: int
+    k: int = 5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = x.shape[-1] // 2
+        y = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        p = self.k // 2
+        outs = [y]
+        for _ in range(3):
+            outs.append(
+                nn.max_pool(
+                    outs[-1], (self.k, self.k), strides=(1, 1), padding=((p, p), (p, p))
+                )
+            )
+        return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(outs, axis=-1), train)
+
+
+def upsample2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x upsample (reference nn.Upsample [None, 2, 'nearest']).
+
+    Implemented as reshape+broadcast — cheaper than gather-based resize on TPU.
+    """
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def resize_bilinear(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize to (H, W), matching torch F.interpolate(align_corners=False)."""
+    b, h, w, c = x.shape
+    if (h, w) == hw:
+        return x
+    return jax.image.resize(x, (b, hw[0], hw[1], c), method="bilinear")
+
+
+def resize_nearest(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
+    b, h, w, c = x.shape
+    if (h, w) == hw:
+        return x
+    return jax.image.resize(x, (b, hw[0], hw[1], c), method="nearest")

@@ -1,0 +1,181 @@
+"""MGAModel — the full detection+segmentation graph as one Flax module.
+
+TPU-first inversion of the reference design: instead of a graph walk with
+forward hooks and capture-by-index (`/root/reference/mga_yolo/model/model.py:46-87`
+``MGAModel._predict_once``), the forward pass simply *returns* everything —
+``{"det": [...], "seg": {"p3": ..}, "taps": {...}}`` — since in JAX the
+trace is functional and intermediate taps come for free.
+
+The module is built from a static :class:`~mga_yolo_tpu.graph.GraphSpec`
+(parsed from the same YAML schema as the reference, see
+``configs/models/yolov8_cbam.yaml``), keeps all shapes static, and traces
+once under ``jit``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mga_yolo_tpu.graph import GraphSpec, NodeSpec
+from mga_yolo_tpu.models import layers as L
+from mga_yolo_tpu.models.attention import MaskCBAM, MaskECA, MaskSPADE
+from mga_yolo_tpu.models.heads import Detect, MGAMaskHead
+
+
+def compute_strides(spec: GraphSpec) -> dict[int, int]:
+    """Static per-node cumulative stride (input = 1).
+
+    Replaces the reference's dummy-forward stride probe
+    (`nn/tasks.py:417-434`) with pure graph analysis: Conv/DWConv multiply the
+    stride by their ``s`` arg, Upsample divides by its scale factor, everything
+    else passes through (multi-input nodes take their first input's stride).
+    """
+    strides: dict[int, int] = {}
+
+    def in_stride(node: NodeSpec) -> int:
+        f = node.inputs[0]
+        return 1 if f < 0 else strides[f]
+
+    for node in spec.nodes:
+        s = in_stride(node)
+        if node.module in ("Conv", "DWConv"):
+            conv_s = node.args[2] if len(node.args) > 2 else 1
+            s *= int(conv_s)
+        elif node.module == "Upsample":
+            factor = node.args[1] if len(node.args) > 1 else 2
+            s = max(1, s // int(factor))
+        strides[node.index] = s
+    return strides
+
+
+def build_node(node: NodeSpec, spec: GraphSpec, strides: dict[int, int]) -> Optional[nn.Module]:
+    """Instantiate the Flax module for one graph node (None for inline ops)."""
+    m, a = node.module, node.args
+    name = f"l{node.index}_{m}"
+    if m == "Conv":
+        c2 = a[0]
+        k = a[1] if len(a) > 1 else 1
+        s = a[2] if len(a) > 2 else 1
+        return L.ConvBN(c2, k, s, name=name)
+    if m == "DWConv":
+        c2 = a[0]
+        k = a[1] if len(a) > 1 else 1
+        s = a[2] if len(a) > 2 else 1
+        return L.DWConv(c2, k, s, name=name)
+    if m == "C2f":
+        shortcut = a[1] if len(a) > 1 else False
+        return L.C2f(a[0], n=node.repeats, shortcut=shortcut, name=name)
+    if m == "C3":
+        shortcut = a[1] if len(a) > 1 else True
+        return L.C3(a[0], n=node.repeats, shortcut=shortcut, name=name)
+    if m == "C3k2":
+        c3k = a[1] if len(a) > 1 else False
+        return L.C3k2(a[0], n=node.repeats, c3k=bool(c3k), name=name)
+    if m == "SPPF":
+        k = a[1] if len(a) > 1 else 5
+        return L.SPPF(a[0], k=k, name=name)
+    if m == "MGAMaskHead":
+        return MGAMaskHead(hidden=a[0], out_ch=a[1] if len(a) > 1 else 1, name=name)
+    if m == "MaskCBAM":
+        return MaskCBAM(channels=a[0], name=name)
+    if m == "MaskECA":
+        return MaskECA(channels=a[0], name=name)
+    if m == "MaskSPADE":
+        return MaskSPADE(channels=a[0], name=name)
+    if m == "Detect":
+        ch = tuple(a[1])
+        det_strides = tuple(strides[i] for i in node.inputs)
+        return Detect(
+            nc=spec.nc, ch=ch, strides=det_strides, legacy=spec.legacy_detect, name=name
+        )
+    if m in ("Upsample", "Concat"):
+        return None  # inline ops
+    raise ValueError(f"No builder for module {m!r}")
+
+
+class MGAModel(nn.Module):
+    """Graph-walking forward that returns det maps, seg logits, and taps.
+
+    Output dict:
+        det: train -> list of 3 raw NHWC maps (B,H/s,W/s, 4*reg_max+nc);
+             eval  -> (decoded (B,A,4+nc), raw maps)
+        seg: {"p3"|"p4"|"p5": (B,H/s,W/s,1) mask logits}
+        taps: optional {layer_index: feature} when ``tap_indices`` given —
+              functional replacement for the reference's forward hooks
+              (`mga_yolo/model/validator.py:186-257`).
+    """
+
+    spec: GraphSpec
+    tap_indices: tuple[int, ...] = ()
+
+    def setup(self):
+        strides = compute_strides(self.spec)
+        self._strides = strides
+        mods = {}
+        for node in self.spec.nodes:
+            mod = build_node(node, self.spec, strides)
+            if mod is not None:
+                mods[node.index] = mod
+        self.blocks = mods
+        det_node = self.spec.nodes[self.spec.detect_index]
+        self.det_strides = tuple(strides[i] for i in det_node.inputs)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> dict[str, Any]:
+        spec = self.spec
+        save = set(spec.save)
+        cache: dict[int, jax.Array] = {}
+        seg: dict[str, jax.Array] = {}
+        taps: dict[int, jax.Array] = {}
+        prev: Any = x
+        det_out = None
+
+        for node in spec.nodes:
+            ins = []
+            for f in node.inputs:
+                if f == node.index - 1:
+                    ins.append(prev)
+                elif f < 0:
+                    ins.append(x)
+                else:
+                    ins.append(cache[f])
+
+            m = node.module
+            if m == "Upsample":
+                out = L.upsample2x(ins[0])
+            elif m == "Concat":
+                out = jnp.concatenate(ins, axis=-1)
+            elif m in ("MaskCBAM", "MaskECA", "MaskSPADE"):
+                feat, mask = ins
+                out = self.blocks[node.index](feat, mask, train=train)
+            elif m == "Detect":
+                out = self.blocks[node.index](ins, train=train)
+                det_out = out
+            else:
+                out = self.blocks[node.index](ins[0], train=train)
+
+            if m == "MGAMaskHead" and node.scale_name:
+                seg[node.scale_name] = out
+            if node.index in self.tap_indices:
+                taps[node.index] = out
+            if node.index in save:
+                cache[node.index] = out
+            prev = out
+
+        result = {"det": det_out, "seg": seg}
+        if self.tap_indices:
+            result["taps"] = taps
+        return result
+
+
+def create_model(
+    cfg: str | dict, scale: str | None = None, nc: int | None = None, tap_indices=()
+) -> tuple[MGAModel, GraphSpec]:
+    """Parse YAML + build the model in one call."""
+    from mga_yolo_tpu.graph import parse_graph
+
+    spec = parse_graph(cfg, scale=scale, nc=nc)
+    return MGAModel(spec=spec, tap_indices=tuple(tap_indices)), spec

@@ -1,0 +1,105 @@
+"""Model graph + forward tests, mirroring reference tests/test_mga_basic.py:11-46."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mga_yolo_tpu.graph import parse_graph
+from mga_yolo_tpu.models.yolo import MGAModel, compute_strides, create_model
+
+CBAM_YAML = "configs/models/yolov8_cbam.yaml"
+
+
+def test_parse_graph_structure():
+    spec = parse_graph(CBAM_YAML, scale="n")
+    assert len(spec.nodes) == 29
+    assert spec.mask_head_indices == (22, 24, 26)
+    assert spec.attention_indices == (23, 25, 27)
+    assert spec.detect_index == 28
+    assert spec.nc == 1
+    assert not spec.legacy_detect  # C3k2 present
+    # width scaling at n: 256 -> 64, 512 -> 128, 1024 -> 256
+    assert spec.nodes[15].c_out == 64
+    assert spec.nodes[18].c_out == 128
+    assert spec.nodes[21].c_out == 256
+    # mask heads output 1 channel; attention preserves channels
+    assert spec.nodes[22].c_out == 1
+    assert spec.nodes[23].c_out == 64
+    assert spec.scale_names == ("p3", "p4", "p5")
+
+
+def test_compute_strides():
+    spec = parse_graph(CBAM_YAML, scale="n")
+    s = compute_strides(spec)
+    assert s[15] == 8 and s[18] == 16 and s[21] == 32
+    assert s[22] == 8 and s[23] == 8
+    det = spec.nodes[spec.detect_index]
+    assert tuple(s[i] for i in det.inputs) == (8, 16, 32)
+
+
+@pytest.mark.parametrize("variant", ["cbam", "eca", "spade"])
+def test_forward_shapes(variant):
+    """Forward on (2,128,128,3) returns det maps + 3 seg scales of correct rank."""
+    model, spec = create_model(f"configs/models/yolov8_{variant}.yaml", scale="n")
+    x = jnp.zeros((2, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=True, mutable=["batch_stats"])[0]
+    det, seg = out["det"], out["seg"]
+    assert isinstance(det, list) and len(det) == 3
+    no = 4 * 16 + spec.nc
+    assert det[0].shape == (2, 16, 16, no)
+    assert det[1].shape == (2, 8, 8, no)
+    assert det[2].shape == (2, 4, 4, no)
+    assert set(seg.keys()) == {"p3", "p4", "p5"}
+    assert seg["p3"].shape == (2, 16, 16, 1)
+    assert seg["p5"].shape == (2, 4, 4, 1)
+
+
+def test_eval_decode_shape():
+    model, spec = create_model(CBAM_YAML, scale="n")
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    decoded, raw = out["det"]
+    A = 16 * 16 + 8 * 8 + 4 * 4
+    assert decoded.shape == (1, A, 4 + spec.nc)
+    # class probabilities in (0, 1)
+    assert float(decoded[..., 4:].min()) >= 0.0
+    assert float(decoded[..., 4:].max()) <= 1.0
+
+
+def test_taps():
+    """Functional feature taps replace the reference's forward hooks."""
+    model, _ = create_model(CBAM_YAML, scale="n", tap_indices=(23, 25, 27))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert set(out["taps"].keys()) == {23, 25, 27}
+    assert out["taps"][23].shape == (1, 8, 8, 64)
+
+
+def test_jit_forward_and_grad():
+    model, _ = create_model(CBAM_YAML, scale="n")
+    x = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.5
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    @jax.jit
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )[0]
+        return sum(jnp.mean(d**2) for d in out["det"]) + sum(
+            jnp.mean(s**2) for s in out["seg"].values()
+        )
+
+    g = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(l)) for l in leaves)
+    # at least one attention beta receives gradient signal
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    betas = [l for p, l in flat if "beta" in str(p)]
+    assert betas
