@@ -1,0 +1,218 @@
+"""YOLOv8 detection loss — task-aligned assignment + CIoU + DFL + BCE.
+
+Static-shape jnp re-formulation of the reference criterion
+(`/root/reference/mga_yolo/external/ultralytics/ultralytics/utils/loss.py:194-298`
+``v8DetectionLoss``) and assigner (`utils/tal.py:14-331`
+``TaskAlignedAssigner``, topk=10, alpha=0.5, beta=6.0).
+
+The reference relies on boolean-mask indexing and per-image variable box
+counts; here every image carries a fixed-size padded GT tensor
+(``gt_bboxes (B, M, 4)`` + ``mask_gt (B, M)``) and all data-dependent
+selection becomes masking / one-hot matmuls — the whole loss traces once
+under ``jit`` and runs on the MXU/VPU with no host synchronization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mga_yolo_tpu.ops.boxes import bbox2dist, bbox_iou_ciou, dist2bbox, make_anchors
+
+
+@dataclasses.dataclass(frozen=True)
+class DetLossConfig:
+    box: float = 7.5   # gains — reference cfg/default.yaml
+    cls: float = 0.5
+    dfl: float = 1.5
+    reg_max: int = 16
+    tal_topk: int = 10
+    tal_alpha: float = 0.5
+    tal_beta: float = 6.0
+    eps: float = 1e-9
+
+
+def select_candidates_in_gts(xy_centers: jax.Array, gt_bboxes: jax.Array, eps: float = 1e-9) -> jax.Array:
+    """(A,2) centers x (B,M,4) xyxy -> (B,M,A) bool: center strictly inside box.
+
+    Reference tal.py:278-299.
+    """
+    lt = gt_bboxes[..., None, :2]  # (B,M,1,2)
+    rb = gt_bboxes[..., None, 2:]  # (B,M,1,2)
+    deltas = jnp.concatenate(
+        [xy_centers[None, None] - lt, rb - xy_centers[None, None]], axis=-1
+    )  # (B,M,A,4)
+    return deltas.min(-1) > eps
+
+
+def task_aligned_assigner(
+    pd_scores: jax.Array,   # (B, A, nc) — sigmoided class scores
+    pd_bboxes: jax.Array,   # (B, A, 4) xyxy, image units
+    anc_points: jax.Array,  # (A, 2), image units
+    gt_labels: jax.Array,   # (B, M) int
+    gt_bboxes: jax.Array,   # (B, M, 4) xyxy, image units
+    mask_gt: jax.Array,     # (B, M) bool/0-1 valid flags
+    num_classes: int,
+    topk: int = 10,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    eps: float = 1e-9,
+):
+    """Returns (target_bboxes (B,A,4), target_scores (B,A,nc), fg_mask (B,A))."""
+    B, A, nc = pd_scores.shape
+    M = gt_bboxes.shape[1]
+    mask_gt_f = mask_gt.astype(pd_scores.dtype)  # (B,M)
+
+    # ---- candidate mask: anchor centers inside valid gt boxes ----
+    mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes).astype(pd_scores.dtype)
+    cand = mask_in_gts * mask_gt_f[..., None]  # (B,M,A)
+
+    # ---- alignment metric ----
+    # score of each anchor for each gt's class: one-hot matmul (MXU-friendly)
+    onehot = jax.nn.one_hot(gt_labels, nc, dtype=pd_scores.dtype)  # (B,M,nc)
+    bbox_scores = jnp.einsum("bac,bmc->bma", pd_scores, onehot) * cand
+    overlaps = (
+        jnp.clip(bbox_iou_ciou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :]), 0, None)
+        * cand
+    )  # (B,M,A)
+    align_metric = bbox_scores**alpha * overlaps**beta
+
+    # ---- top-k per gt over anchors (reference select_topk_candidates tal.py:203-233) ----
+    topk_vals, topk_idx = jax.lax.top_k(align_metric, topk)  # (B,M,k)
+    valid = mask_gt.astype(bool)[..., None]  # (B,M,1)
+    topk_idx = jnp.where(valid, topk_idx, 0)
+    count = (topk_idx[..., None] == jnp.arange(A)[None, None, None, :]).sum(2)  # (B,M,A)
+    count = jnp.where(count > 1, 0, count).astype(align_metric.dtype)
+    mask_pos = count * cand  # (B,M,A)
+
+    # ---- resolve anchors claimed by multiple gts: keep highest overlap ----
+    # (reference select_highest_overlaps tal.py:301-329; the data-dependent
+    # `if fg.max() > 1` early-out is dropped — applying unconditionally is
+    # identical when no anchor is contested)
+    fg = mask_pos.sum(-2)  # (B,A)
+    max_overlap_gt = overlaps.argmax(1)  # (B,A)
+    is_max = jax.nn.one_hot(max_overlap_gt, M, dtype=mask_pos.dtype).transpose(0, 2, 1)  # (B,M,A)
+    multi = fg[:, None, :] > 1  # (B,1,A)
+    mask_pos = jnp.where(multi, is_max, mask_pos)
+    fg_mask = mask_pos.sum(-2)  # (B,A), 0/1
+    target_gt_idx = mask_pos.argmax(-2)  # (B,A)
+
+    # ---- gather targets ----
+    tb = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # (B,A,4)
+    tl = jnp.take_along_axis(gt_labels, target_gt_idx, axis=1)  # (B,A)
+    target_scores = jax.nn.one_hot(tl, nc, dtype=pd_scores.dtype) * fg_mask[..., None]
+
+    # ---- normalize by per-gt best alignment (reference tal.py:120-125) ----
+    align_metric = align_metric * mask_pos
+    pos_align = align_metric.max(-1, keepdims=True)  # (B,M,1)
+    pos_overlap = (overlaps * mask_pos).max(-1, keepdims=True)  # (B,M,1)
+    norm = (align_metric * pos_overlap / (pos_align + eps)).max(-2)[..., None]  # (B,A,1)
+    target_scores = target_scores * norm
+
+    return tb, target_scores, fg_mask
+
+
+def flatten_det_maps(det_maps: Sequence[jax.Array], reg_max: int, nc: int):
+    """NHWC per-level maps -> (pred_distri (B,A,4*reg_max), pred_scores (B,A,nc))."""
+    b = det_maps[0].shape[0]
+    no = 4 * reg_max + nc
+    flat = jnp.concatenate([m.reshape(b, -1, no) for m in det_maps], axis=1)
+    return flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
+
+
+def dfl_loss(pred_dist: jax.Array, target: jax.Array, reg_max: int) -> jax.Array:
+    """Distribution focal loss per anchor (reference loss.py:87-105).
+
+    pred_dist: (..., 4, reg_max) logits; target: (..., 4) continuous in
+    [0, reg_max-1]. Returns (...,) mean over the 4 sides.
+    """
+    target = jnp.clip(target, 0, reg_max - 1 - 0.01)
+    tl = target.astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(target.dtype) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist, axis=-1)
+    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1).squeeze(-1)
+    ce_r = -jnp.take_along_axis(logp, jnp.minimum(tr, reg_max - 1)[..., None], axis=-1).squeeze(-1)
+    return (ce_l * wl + ce_r * wr).mean(-1)
+
+
+def v8_detection_loss(
+    det_maps: Sequence[jax.Array],
+    strides: Sequence[int],
+    gt_labels: jax.Array,   # (B, M)
+    gt_bboxes: jax.Array,   # (B, M, 4) xyxy in image pixels
+    mask_gt: jax.Array,     # (B, M)
+    nc: int,
+    cfg: DetLossConfig = DetLossConfig(),
+):
+    """Returns (total_loss_scalar, {'box','cls','dfl'} detached components).
+
+    Mirrors reference loss.py:243-298: BCE cls + CIoU box + DFL, gains from
+    cfg, final loss scaled by batch size.
+    """
+    reg_max = cfg.reg_max
+    B = det_maps[0].shape[0]
+    pred_distri, pred_scores = flatten_det_maps(det_maps, reg_max, nc)
+    A = pred_scores.shape[1]
+    dtype = pred_scores.dtype
+
+    shapes = [(m.shape[1], m.shape[2]) for m in det_maps]
+    anchor_points, stride_tensor = make_anchors(shapes, strides, 0.5, dtype=dtype)
+
+    # decode to xyxy in feature units
+    pd = pred_distri.reshape(B, A, 4, reg_max)
+    proj = jnp.arange(reg_max, dtype=dtype)
+    ltrb = (jax.nn.softmax(pd, axis=-1) * proj).sum(-1)
+    pred_bboxes = dist2bbox(ltrb, anchor_points[None], xywh=False)  # (B,A,4)
+
+    target_bboxes, target_scores, fg_mask = jax.lax.stop_gradient(
+        task_aligned_assigner(
+            jax.nn.sigmoid(jax.lax.stop_gradient(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes) * stride_tensor,
+            anchor_points * stride_tensor,
+            gt_labels,
+            gt_bboxes,
+            mask_gt,
+            nc,
+            topk=cfg.tal_topk,
+            alpha=cfg.tal_alpha,
+            beta=cfg.tal_beta,
+        )
+    )
+
+    target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
+
+    # ---- cls: BCE with logits, sum / target_scores_sum ----
+    bce = optax_sigmoid_bce(pred_scores, target_scores)
+    loss_cls = bce.sum() / target_scores_sum
+
+    # ---- box: CIoU on fg anchors, weighted by target score mass ----
+    tb_feat = target_bboxes / stride_tensor
+    weight = target_scores.sum(-1) * fg_mask  # (B,A)
+    iou = bbox_iou_ciou(pred_bboxes, tb_feat)  # (B,A)
+    loss_iou = (((1.0 - iou) * weight)).sum() / target_scores_sum
+
+    # ---- dfl ----
+    target_ltrb = bbox2dist(anchor_points[None], tb_feat, reg_max - 1)  # (B,A,4)
+    per_anchor_dfl = dfl_loss(pd, target_ltrb, reg_max)  # (B,A)
+    loss_dfl = (per_anchor_dfl * weight).sum() / target_scores_sum
+
+    loss_box = loss_iou * cfg.box
+    loss_cls = loss_cls * cfg.cls
+    loss_dfl = loss_dfl * cfg.dfl
+    total = (loss_box + loss_cls + loss_dfl) * B
+    comps = {
+        "box": jax.lax.stop_gradient(loss_box),
+        "cls": jax.lax.stop_gradient(loss_cls),
+        "dfl": jax.lax.stop_gradient(loss_dfl),
+    }
+    return total, comps
+
+
+def optax_sigmoid_bce(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Numerically-stable elementwise BCE-with-logits."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))

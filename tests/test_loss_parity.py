@@ -1,0 +1,171 @@
+"""Numeric parity of the jnp losses vs the torch reference on fixed inputs.
+
+The reference implementation at /root/reference is imported read-only and used
+purely as a test oracle (SURVEY.md §7 stage 2 exit criterion: loss parity on
+fixed random inputs within tolerances).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+torch = pytest.importorskip("torch")
+
+from tests._reference_oracle import setup_reference_paths
+
+setup_reference_paths()
+
+from mga_yolo_tpu.losses.detection import (
+    DetLossConfig,
+    task_aligned_assigner,
+    v8_detection_loss,
+)
+from mga_yolo_tpu.losses.segmentation import SegLossConfig, segmentation_loss
+from mga_yolo_tpu.ops.boxes import bbox_iou_ciou
+
+
+def _rand_boxes(rng, n, size=256.0):
+    xy = rng.uniform(0, size * 0.8, (n, 2))
+    wh = rng.uniform(8, size * 0.3, (n, 2))
+    return np.concatenate([xy, xy + wh], -1).astype(np.float32)
+
+
+def test_ciou_parity(rng):
+    from mga_yolo.external.ultralytics.ultralytics.utils.metrics import bbox_iou
+
+    b1 = _rand_boxes(rng, 64)
+    b2 = _rand_boxes(rng, 64)
+    ours = np.asarray(bbox_iou_ciou(jnp.asarray(b1), jnp.asarray(b2)))
+    theirs = (
+        bbox_iou(torch.from_numpy(b1), torch.from_numpy(b2), xywh=False, CIoU=True)
+        .squeeze(-1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_tal_assigner_parity(rng):
+    from mga_yolo.external.ultralytics.ultralytics.utils.tal import TaskAlignedAssigner
+
+    B, A, M, nc = 2, 84, 4, 3
+    pd_scores = rng.uniform(0, 1, (B, A, nc)).astype(np.float32)
+    pd_bboxes = np.stack([_rand_boxes(rng, A) for _ in range(B)])
+    anc = rng.uniform(0, 256, (A, 2)).astype(np.float32)
+    gt_bboxes = np.stack([_rand_boxes(rng, M) for _ in range(B)])
+    gt_labels = rng.integers(0, nc, (B, M))
+    mask_gt = np.ones((B, M), np.float32)
+    mask_gt[0, -1] = 0  # one padded gt
+
+    ours_tb, ours_ts, ours_fg = task_aligned_assigner(
+        jnp.asarray(pd_scores),
+        jnp.asarray(pd_bboxes),
+        jnp.asarray(anc),
+        jnp.asarray(gt_labels),
+        jnp.asarray(gt_bboxes),
+        jnp.asarray(mask_gt),
+        nc,
+        topk=10,
+        alpha=0.5,
+        beta=6.0,
+    )
+
+    assigner = TaskAlignedAssigner(topk=10, num_classes=nc, alpha=0.5, beta=6.0)
+    _, t_tb, t_ts, t_fg, _ = assigner(
+        torch.from_numpy(pd_scores),
+        torch.from_numpy(pd_bboxes),
+        torch.from_numpy(anc),
+        torch.from_numpy(gt_labels[..., None]).long(),
+        torch.from_numpy(gt_bboxes),
+        torch.from_numpy(mask_gt[..., None]),
+    )
+    # Zero-metric candidates (CIoU clamped to 0) are tie-broken arbitrarily by
+    # topk in both frameworks; they carry zero target-score weight so they
+    # cannot affect the loss.  Compare where the weight is non-negligible.
+    ours_ts_np = np.asarray(ours_ts)
+    t_ts_np = t_ts.numpy()
+    np.testing.assert_allclose(ours_ts_np, t_ts_np, rtol=1e-3, atol=1e-4)
+    significant = t_ts_np.sum(-1) > 1e-6
+    np.testing.assert_array_equal(
+        (np.asarray(ours_fg) > 0)[significant], t_fg.numpy()[significant]
+    )
+    both_fg = significant & t_fg.numpy() & (np.asarray(ours_fg) > 0)
+    np.testing.assert_allclose(
+        np.asarray(ours_tb)[both_fg], t_tb.numpy()[both_fg], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_seg_loss_parity(rng):
+    from mga_yolo.nn.losses.segmentation import SegLossConfig as TorchCfg
+    from mga_yolo.nn.losses.segmentation import SegmentationLoss
+
+    B, H, W = 2, 16, 16
+    preds = {
+        k: rng.normal(0, 2, (B, s, s, 1)).astype(np.float32)
+        for k, s in (("p3", 16), ("p4", 8), ("p5", 4))
+    }
+    tgts = [
+        (rng.uniform(0, 1, (B, s, s, 1)) > 0.7).astype(np.float32) for s in (16, 8, 4)
+    ]
+
+    ours_total, ours_logs = segmentation_loss(
+        {k: jnp.asarray(v) for k, v in preds.items()},
+        [jnp.asarray(t) for t in tgts],
+        SegLossConfig(),
+    )
+
+    crit = SegmentationLoss(TorchCfg())
+    t_total, t_logs = crit(
+        {k: torch.from_numpy(np.transpose(v, (0, 3, 1, 2))) for k, v in preds.items()},
+        [torch.from_numpy(np.transpose(t, (0, 3, 1, 2))) for t in tgts],
+    )
+    np.testing.assert_allclose(float(ours_total), float(t_total), rtol=1e-4)
+    for k in ("p3_bce", "p3_dice", "p5_bce", "p5_dice", "seg_total"):
+        np.testing.assert_allclose(float(ours_logs[k]), t_logs[k], rtol=1e-3, atol=1e-5)
+
+
+def test_ufl_parity(rng):
+    from mga_yolo.nn.losses.segmentation import SegLossConfig as TorchCfg
+    from mga_yolo.nn.losses.segmentation import SegmentationLoss
+
+    B = 2
+    preds = {"p3": rng.normal(0, 2, (B, 8, 8, 1)).astype(np.float32)}
+    tgts = [(rng.uniform(0, 1, (B, 8, 8, 1)) > 0.5).astype(np.float32)]
+
+    ours_total, _ = segmentation_loss(
+        {k: jnp.asarray(v) for k, v in preds.items()},
+        [jnp.asarray(t) for t in tgts],
+        SegLossConfig(use_unified_focal=True),
+    )
+    crit = SegmentationLoss(TorchCfg(use_unified_focal=True))
+    t_total, _ = crit(
+        {k: torch.from_numpy(np.transpose(v, (0, 3, 1, 2))) for k, v in preds.items()},
+        [torch.from_numpy(np.transpose(t, (0, 3, 1, 2))) for t in tgts],
+    )
+    np.testing.assert_allclose(float(ours_total), float(t_total), rtol=1e-4)
+
+
+def test_detection_loss_runs_and_grads(rng):
+    """Smoke: full det loss is finite and differentiable w.r.t. the maps."""
+    B, nc = 2, 2
+    maps = [
+        jnp.asarray(rng.normal(0, 1, (B, s, s, 64 + nc)).astype(np.float32))
+        for s in (16, 8, 4)
+    ]
+    gt_bboxes = jnp.asarray(np.stack([_rand_boxes(rng, 3, 128.0) for _ in range(B)]))
+    gt_labels = jnp.asarray(rng.integers(0, nc, (B, 3)))
+    mask_gt = jnp.ones((B, 3))
+
+    def f(m0):
+        total, _ = v8_detection_loss(
+            [m0, maps[1], maps[2]], (8, 16, 32), gt_labels, gt_bboxes, mask_gt, nc
+        )
+        return total
+
+    val, grad = jax.value_and_grad(f)(maps[0])
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+    assert float(jnp.abs(grad).sum()) > 0
