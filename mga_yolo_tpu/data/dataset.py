@@ -1,0 +1,235 @@
+"""YOLO-format detection dataset with per-image binary masks.
+
+Capability port of the reference data stack (`MGADataset`
+`/root/reference/mga_yolo/data/dataset.py:22-174`, `YOLODataset`/`BaseDataset`
+in the vendored engine): YOLO txt labels, stem-matched mask discovery, the
+full mask-synced augmentation pipeline, and pyramid mask downsampling to
+strides 8/16/32.
+
+TPU-first differences:
+* Every sample is emitted at **fixed static shapes** — image (S, S, 3) uint8,
+  GT padded to ``max_boxes``, masks exactly (S/s, S/s, 1) — so the jitted
+  train step never recompiles and no ragged collate is needed (the reference
+  pads masks to the per-batch max, dataset.py:149-169).
+* Images stay uint8 through host->device transfer; normalization to [0,1]
+  happens on-device (halves PCIe/DMA bytes).
+* The letterboxed mask size is computed exactly from the letterbox geometry
+  instead of the reference's fragile ``ori_shape + stride`` heuristic
+  (reference dataset.py:79-89; SURVEY.md §7 hard-part 7).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import cv2
+import numpy as np
+import yaml
+
+from mga_yolo_tpu.config import MGAConfig
+from mga_yolo_tpu.data import mask_ops, transforms as T
+
+IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
+STRIDES = (8, 16, 32)
+
+
+def _resolve(root: Optional[str], p: str) -> Path:
+    path = Path(p)
+    if not path.is_absolute() and root:
+        path = Path(root) / p
+    return path
+
+
+def list_images(source: Path) -> list[Path]:
+    if source.is_file() and source.suffix == ".txt":
+        base = source.parent
+        out = []
+        for line in source.read_text().splitlines():
+            line = line.strip()
+            if line:
+                out.append(_resolve(str(base), line))
+        return out
+    if source.is_dir():
+        return sorted(p for p in source.rglob("*") if p.suffix.lower() in IMG_EXTS)
+    raise FileNotFoundError(f"image source not found: {source}")
+
+
+def label_path_for(img_path: Path) -> Path:
+    """images/.../x.jpg -> labels/.../x.txt (standard YOLO layout)."""
+    parts = list(img_path.parts)
+    for i in range(len(parts) - 1, -1, -1):
+        if parts[i] == "images":
+            parts[i] = "labels"
+            break
+    return Path(*parts).with_suffix(".txt")
+
+
+def load_yolo_labels(path: Path, w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+    """YOLO txt (cls cx cy w h, normalized) -> (cls (N,), boxes (N,4) xyxy px)."""
+    if not path.exists():
+        return np.zeros((0,), np.float32), np.zeros((0, 4), np.float32)
+    cls, boxes = [], []
+    for line in path.read_text().splitlines():
+        vals = line.split()
+        if len(vals) < 5:
+            continue
+        c, cx, cy, bw, bh = (float(v) for v in vals[:5])
+        x1 = (cx - bw / 2) * w
+        y1 = (cy - bh / 2) * h
+        x2 = (cx + bw / 2) * w
+        y2 = (cy + bh / 2) * h
+        cls.append(c)
+        boxes.append((x1, y1, x2, y2))
+    if not cls:
+        return np.zeros((0,), np.float32), np.zeros((0, 4), np.float32)
+    return np.asarray(cls, np.float32), np.asarray(boxes, np.float32)
+
+
+class MGADataset:
+    """Image + boxes + binary-mask dataset producing fixed-shape samples."""
+
+    def __init__(self, cfg: MGAConfig, split: str = "train", augment: bool = True):
+        self.cfg = cfg
+        self.split = split
+        self.augment = augment
+        self.imgsz = cfg.data.imgsz
+        self.max_boxes = cfg.data.max_boxes
+
+        with open(cfg.data.data) as f:
+            dy = yaml.safe_load(f)
+        root = dy.get("path") or dy.get("dataset")
+        self.dataset_root = cfg.data.dataset_root or dy.get("dataset") or root
+        self.masks_dir = cfg.data.masks_dir or dy.get("masks_dir")
+        self.names = dy.get("names", {0: "object"})
+        src = dy.get(split) or dy.get("val")
+        self.img_files = list_images(_resolve(root, src))
+        if cfg.data.fraction < 1.0:
+            n = max(1, int(len(self.img_files) * cfg.data.fraction))
+            self.img_files = self.img_files[:n]
+        self.mask_paths = [
+            mask_ops.infer_mask_path(p, self.dataset_root, self.masks_dir) for p in self.img_files
+        ]
+        self._cache: dict[int, tuple] = {}
+
+    def __len__(self) -> int:
+        return len(self.img_files)
+
+    # ---- raw sample loading ----
+
+    def load_raw(self, i: int) -> T.Sample:
+        if self.cfg.data.cache and i in self._cache:
+            img, cls, boxes, mask = self._cache[i]
+            return {"img": img.copy(), "cls": cls.copy(), "boxes": boxes.copy(),
+                    "mask": None if mask is None else mask.copy()}
+        path = self.img_files[i]
+        img = cv2.imread(str(path))
+        if img is None:
+            raise FileNotFoundError(path)
+        h, w = img.shape[:2]
+        cls, boxes = load_yolo_labels(label_path_for(path), w, h)
+        if self.cfg.data.single_cls:
+            cls = np.zeros_like(cls)
+        mask = None
+        mp = self.mask_paths[i]
+        if mp is not None:
+            mask = mask_ops.load_binary_mask(mp)
+            if mask.shape[:2] != (h, w):
+                mask = cv2.resize(mask, (w, h), interpolation=cv2.INTER_NEAREST)
+        if self.cfg.data.cache:
+            self._cache[i] = (img, cls, boxes, mask)
+        return {"img": img, "cls": cls, "boxes": boxes, "mask": mask}
+
+    # ---- augmentation pipeline ----
+
+    def _train_sample(self, i: int, rng: np.random.Generator, use_mosaic: bool) -> T.Sample:
+        aug = self.cfg.augment
+        s = self.imgsz
+        if use_mosaic and rng.random() < aug.mosaic:
+            idxs = [i] + list(rng.integers(0, len(self), 3))
+            parts = [
+                T.letterbox(self.load_raw(j), s, scaleup=True, center=False) for j in idxs
+            ]
+            sample = T.mosaic4(parts, rng, s)
+            border = (-s // 2, -s // 2)
+            sample = T.random_affine(sample, rng, aug, border=border)
+            if aug.mixup and rng.random() < aug.mixup:
+                other = self._train_sample(int(rng.integers(0, len(self))), rng, use_mosaic)
+                sample = T.mixup(sample, other, rng)
+            elif aug.cutmix and rng.random() < aug.cutmix:
+                other = self._train_sample(int(rng.integers(0, len(self))), rng, use_mosaic)
+                sample = T.cutmix(sample, other, rng)
+        else:
+            sample = T.letterbox(self.load_raw(i), s, scaleup=True)
+            sample = T.random_affine(sample, rng, aug)
+        sample = T.random_hsv(sample, rng, aug.hsv_h, aug.hsv_s, aug.hsv_v)
+        sample = T.random_flip(sample, rng, aug.fliplr, aug.flipud)
+        return sample
+
+    def get(self, i: int, rng: Optional[np.random.Generator] = None, use_mosaic: bool = True) -> dict:
+        """One fixed-shape training/val sample (numpy)."""
+        if self.augment:
+            rng = rng or np.random.default_rng()
+            sample = self._train_sample(i, rng, use_mosaic)
+        else:
+            sample = T.letterbox(self.load_raw(i), self.imgsz, scaleup=False)
+        return self.finalize(sample, i)
+
+    def finalize(self, sample: T.Sample, index: int = -1) -> dict:
+        """Pad GT, build the mask pyramid, emit static-shape arrays."""
+        s = self.imgsz
+        img = sample["img"]
+        assert img.shape[:2] == (s, s), f"pipeline produced {img.shape}, expected {(s, s)}"
+
+        n = min(len(sample.get("boxes", ())), self.max_boxes)
+        gt_boxes = np.zeros((self.max_boxes, 4), np.float32)
+        gt_cls = np.zeros((self.max_boxes,), np.int32)
+        gt_valid = np.zeros((self.max_boxes,), np.float32)
+        if n:
+            order = np.arange(len(sample["boxes"]))[:n]
+            gt_boxes[:n] = sample["boxes"][order]
+            gt_cls[:n] = sample["cls"][order].astype(np.int32)
+            gt_valid[:n] = 1.0
+
+        mask = sample.get("mask")
+        mcfg = self.cfg.mask
+        masks = []
+        if mask is None:
+            mask = np.zeros((s, s), np.uint8)
+        if mcfg.prob_mode:
+            pyr = {
+                st: mask_ops.downsample_mask_prob(mask, st, mcfg.prob_method) for st in STRIDES
+            }
+        else:
+            pyr = mask_ops.downsample_mask_multi(mask, STRIDES, mcfg)
+        for st in STRIDES:
+            m = pyr[st].astype(np.float32)
+            hw = s // st
+            if m.shape != (hw, hw):  # defensive: ceil vs exact division
+                m = cv2.resize(m, (hw, hw), interpolation=cv2.INTER_NEAREST)
+            masks.append(m[..., None])
+
+        return {
+            "image": np.ascontiguousarray(img),          # (S,S,3) uint8 BGR
+            "gt_boxes": gt_boxes,                        # (M,4) xyxy px
+            "gt_labels": gt_cls,                         # (M,)
+            "mask_gt": gt_valid,                         # (M,)
+            "masks": masks,                              # [(S/8,S/8,1), (S/16..), (S/32..)]
+            "index": np.int32(index),
+        }
+
+
+def collate(samples: Sequence[dict]) -> dict:
+    """Stack fixed-shape samples into a batch of numpy arrays."""
+    out = {
+        "image": np.stack([s["image"] for s in samples]),
+        "gt_boxes": np.stack([s["gt_boxes"] for s in samples]),
+        "gt_labels": np.stack([s["gt_labels"] for s in samples]),
+        "mask_gt": np.stack([s["mask_gt"] for s in samples]),
+        "index": np.stack([s["index"] for s in samples]),
+    }
+    out["masks"] = [
+        np.stack([s["masks"][k] for s in samples]) for k in range(len(samples[0]["masks"]))
+    ]
+    return out

@@ -1,0 +1,96 @@
+"""Threaded prefetching data loader with deterministic per-epoch shuffling.
+
+Replaces the reference's torch ``InfiniteDataLoader`` + worker processes +
+``DistributedSampler`` (`data/build.py:30,177`) with a thread-pool pipeline
+(cv2/numpy release the GIL for the heavy ops) and **per-host sharding**: in a
+multi-host TPU setup each process loads only its ``1/num_hosts`` slice of
+every global batch (SURVEY.md §5.8), which is the jax-native replacement for
+DistributedSampler.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from mga_yolo_tpu.data.dataset import MGADataset, collate
+
+
+class DataLoader:
+    """Deterministic, sharded, prefetching loader over an MGADataset."""
+
+    def __init__(
+        self,
+        dataset: MGADataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        workers: int = 8,
+        drop_last: bool = True,
+        prefetch: int = 4,
+        num_shards: int = 1,
+        shard_index: int = 0,
+    ):
+        assert batch_size % num_shards == 0, "global batch must divide across hosts"
+        self.dataset = dataset
+        self.global_batch = batch_size
+        self.local_batch = batch_size // num_shards
+        self.shuffle = shuffle
+        self.seed = seed
+        self.workers = max(1, workers)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.global_batch if self.drop_last else -(-n // self.global_batch)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _epoch_order(self) -> np.ndarray:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        if self.drop_last and n >= self.global_batch:
+            order = order[: (n // self.global_batch) * self.global_batch]
+        return order
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._epoch_order()
+        nb = len(order) // self.global_batch if self.drop_last else -(-len(order) // self.global_batch)
+        use_mosaic = getattr(self, "use_mosaic", True)
+
+        def make_batch(bi: int) -> dict:
+            start = bi * self.global_batch
+            global_idx = order[start : start + self.global_batch]
+            # per-host shard of the global batch
+            local_idx = global_idx[self.shard_index :: self.num_shards]
+            samples = []
+            for j, di in enumerate(local_idx):
+                rng = np.random.default_rng(
+                    (self.seed * 1_000_003 + self.epoch * 10_007 + int(di)) % (2**63)
+                )
+                samples.append(self.dataset.get(int(di), rng, use_mosaic=use_mosaic))
+            return collate(samples)
+
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            futures = queue.Queue()
+            n_submit = min(self.prefetch, nb)
+            for bi in range(n_submit):
+                futures.put(pool.submit(make_batch, bi))
+            next_bi = n_submit
+            for _ in range(nb):
+                fut = futures.get()
+                if next_bi < nb:
+                    futures.put(pool.submit(make_batch, next_bi))
+                    next_bi += 1
+                yield fut.result()
