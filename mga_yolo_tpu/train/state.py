@@ -1,0 +1,204 @@
+"""Train state pytree + jitted train/eval step builders with mesh sharding.
+
+The train step is one pure function ``(state, batch, lr, lr_bias, momentum)
+-> (state, metrics)`` jitted with ``donate_argnums=0`` over a 1-D
+``Mesh(('data',))``: the batch is sharded along ``data``, parameters are
+replicated, and XLA inserts the gradient all-reduce over ICI automatically —
+the TPU-native replacement for the reference's DDP subprocess machinery
+(SURVEY.md §5.8, reference `engine/trainer.py:209-252`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mga_yolo_tpu.losses import mga_loss
+from mga_yolo_tpu.losses.detection import DetLossConfig
+from mga_yolo_tpu.losses.segmentation import SegLossConfig
+from mga_yolo_tpu.train import optim
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    momentum_buf: Any
+    ema_params: Any
+    ema_batch_stats: Any
+    groups: Any = struct.field(pytree_node=True)
+
+
+def create_train_state(model, rng, imgsz: int, batch: int = 1) -> TrainState:
+    x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
+    # jit the init: an eager init compiles every op separately (minutes on CPU)
+    variables = jax.jit(partial(model.init, train=False))(rng, x)
+    params = dict(variables["params"])
+    params["mtl_log_vars"] = jnp.zeros((2,), jnp.float32)  # Kendall s_det, s_seg
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        momentum_buf=optim.init_momentum(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        ema_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+        groups=optim.param_groups(params),
+    )
+
+
+def normalize_images(images: jax.Array) -> jax.Array:
+    """uint8 BGR -> float32 [0,1] on device (reference preprocess_batch /255)."""
+    return images.astype(jnp.float32) / 255.0
+
+
+def make_train_step(
+    model,
+    strides: Sequence[int],
+    nc: int,
+    det_cfg: DetLossConfig,
+    seg_cfg: SegLossConfig,
+    weight_decay: float,
+    ema_decay: float,
+    ema_tau: float,
+    accumulate: int = 1,
+) -> Callable:
+    """Build the pure train-step function (to be jitted by the caller)."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        images = normalize_images(batch["image"])
+        model_vars = {"params": {k: v for k, v in params.items() if k != "mtl_log_vars"}}
+        if batch_stats:
+            model_vars["batch_stats"] = batch_stats
+        out, mutated = model.apply(
+            model_vars,
+            images,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"gater": rng, "dropout": rng},
+        )
+        loss_batch = {
+            "gt_labels": batch["gt_labels"],
+            "gt_bboxes": batch["gt_boxes"],
+            "mask_gt": batch["mask_gt"],
+            "masks": batch["masks"],
+        }
+        total, items, logs = mga_loss(
+            out, loss_batch, strides, nc, params["mtl_log_vars"], det_cfg, seg_cfg
+        )
+        return total, (mutated.get("batch_stats", {}), items, logs)
+
+    def train_step(state: TrainState, batch, lr, lr_bias, momentum, rng):
+        (total, (new_bs, items, logs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng
+        )
+        new_params, new_buf = optim.sgd_update(
+            state.params,
+            grads,
+            state.momentum_buf,
+            state.groups,
+            lr,
+            lr_bias,
+            momentum,
+            weight_decay,
+        )
+        step = state.step + 1
+        ema_params = optim.ema_update(state.ema_params, new_params, step, ema_decay, ema_tau)
+        ema_bs = (
+            optim.ema_update(state.ema_batch_stats, new_bs, step, ema_decay, ema_tau)
+            if new_bs
+            else state.ema_batch_stats
+        )
+        new_state = state.replace(
+            step=step,
+            params=new_params,
+            batch_stats=new_bs if new_bs else state.batch_stats,
+            momentum_buf=new_buf,
+            ema_params=ema_params,
+            ema_batch_stats=ema_bs,
+        )
+        metrics = {"loss": total, "items": items, **logs}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model, strides: Sequence[int], nc: int, det_cfg: DetLossConfig, seg_cfg: SegLossConfig
+) -> Callable:
+    """Eval step on EMA weights: decoded predictions + val loss items."""
+
+    def eval_step(state: TrainState, batch):
+        images = normalize_images(batch["image"])
+        model_vars = {
+            "params": {k: v for k, v in state.ema_params.items() if k != "mtl_log_vars"}
+        }
+        if state.ema_batch_stats:
+            model_vars["batch_stats"] = state.ema_batch_stats
+        out = model.apply(model_vars, images, train=False)
+        decoded, raw = out["det"]
+        loss_batch = {
+            "gt_labels": batch["gt_labels"],
+            "gt_bboxes": batch["gt_boxes"],
+            "mask_gt": batch["mask_gt"],
+            "masks": batch["masks"],
+        }
+        _, items, _ = mga_loss(
+            {"det": raw, "seg": out["seg"]},
+            loss_batch,
+            strides,
+            nc,
+            state.ema_params["mtl_log_vars"],
+            det_cfg,
+            seg_cfg,
+        )
+        return {"decoded": decoded, "seg": out["seg"], "items": items}
+
+    return eval_step
+
+
+def data_mesh(devices=None) -> Mesh:
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def shard_batch_specs(mesh: Mesh):
+    """(replicated_spec, batch_sharded_spec) NamedShardings."""
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+
+
+def jit_train_step(train_step, mesh: Mesh):
+    repl, data_sh = shard_batch_specs(mesh)
+    batch_shardings = {
+        "image": data_sh,
+        "gt_boxes": data_sh,
+        "gt_labels": data_sh,
+        "mask_gt": data_sh,
+        "masks": [data_sh, data_sh, data_sh],
+    }
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch_shardings, None, None, None, None),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def jit_eval_step(eval_step, mesh: Mesh):
+    repl, data_sh = shard_batch_specs(mesh)
+    batch_shardings = {
+        "image": data_sh,
+        "gt_boxes": data_sh,
+        "gt_labels": data_sh,
+        "mask_gt": data_sh,
+        "masks": [data_sh, data_sh, data_sh],
+    }
+    return jax.jit(eval_step, in_shardings=(repl, batch_shardings), out_shardings=repl)

@@ -1,0 +1,338 @@
+"""MGATrainer — the full training orchestration.
+
+TPU-native re-implementation of the reference trainer stack
+(`/root/reference/mga_yolo/external/ultralytics/ultralytics/engine/trainer.py:195-576`
+BaseTrainer + `/root/reference/mga_yolo/model/trainer.py:11-433` MGATrainer):
+single-program SPMD over a ``Mesh(('data',))`` replaces DDP subprocess
+relaunch; the jitted, donated train step replaces autocast/GradScaler; orbax
+checkpoints replace pickle .pt files.  Feature parity: warmup + linear/cosine
+LR, EMA, per-epoch validation with mAP, EarlyStopping on fitness, results.csv
+with the reference schema (incl. learned Kendall weights, attention alpha
+gates and SPADE gamma/beta stats), best/last checkpoints, resume,
+profiling.yaml.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from mga_yolo_tpu.config import MGAConfig, det_loss_config, seg_loss_config
+from mga_yolo_tpu.data.dataset import MGADataset
+from mga_yolo_tpu.data.loader import DataLoader
+from mga_yolo_tpu.models.yolo import create_model
+from mga_yolo_tpu.train import optim
+from mga_yolo_tpu.train import state as S
+from mga_yolo_tpu.train.validator import Validator, ValResult
+from mga_yolo_tpu.utils import checkpoint as ckpt_util
+from mga_yolo_tpu.utils.csvlog import ResultsCSV, loss_items_to_row
+
+
+class EarlyStopping:
+    """Patience-based stopper on fitness (reference torch_utils.py:981)."""
+
+    def __init__(self, patience: int = 100):
+        self.patience = patience or float("inf")
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+
+    def __call__(self, epoch: int, fitness: float) -> bool:
+        if fitness >= self.best_fitness:
+            self.best_fitness = fitness
+            self.best_epoch = epoch
+        return (epoch - self.best_epoch) >= self.patience
+
+
+class MGATrainer:
+    def __init__(self, cfg: MGAConfig, devices=None):
+        self.cfg = cfg
+        t = cfg.train
+        self.save_dir = cfg.save_dir
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        (self.save_dir / "weights").mkdir(exist_ok=True)
+
+        self.model, self.spec = create_model(
+            t.model, scale=t.model_scale, tap_indices=tuple(t.save_layers) if t.save_fm else ()
+        )
+        self.strides = (8, 16, 32)
+
+        devices = devices if devices is not None else jax.devices()
+        n_dev = len(devices)
+        if t.batch % n_dev != 0:
+            n_dev = math.gcd(t.batch, n_dev)
+            devices = devices[:n_dev]
+        self.mesh = S.data_mesh(devices)
+        self.n_hosts = jax.process_count()
+        self.host_id = jax.process_index()
+
+        self.train_ds = MGADataset(cfg, "train", augment=True)
+        self.val_ds = MGADataset(cfg, "val", augment=False)
+        self.train_loader = DataLoader(
+            self.train_ds,
+            batch_size=t.batch,
+            seed=t.seed,
+            workers=cfg.data.workers,
+            num_shards=self.n_hosts,
+            shard_index=self.host_id,
+        )
+        self.val_loader = DataLoader(
+            self.val_ds,
+            batch_size=min(t.batch, len(self.val_ds)) or 1,
+            shuffle=False,
+            workers=cfg.data.workers,
+            drop_last=False,
+        )
+
+        self.steps_per_epoch = max(len(self.train_loader), 1)
+        self.schedule = optim.Schedule(
+            lr0=t.lr0,
+            lrf=t.lrf,
+            momentum=t.momentum,
+            warmup_epochs=t.warmup_epochs,
+            warmup_momentum=t.warmup_momentum,
+            warmup_bias_lr=t.warmup_bias_lr,
+            epochs=t.epochs,
+            steps_per_epoch=self.steps_per_epoch,
+            cos_lr=t.cos_lr,
+        )
+        # scale weight decay like the reference (trainer.py:312+): wd * batch * accumulate / nbs
+        accumulate = max(round(t.nbs / t.batch), 1)
+        self.weight_decay = t.weight_decay * t.batch * accumulate / t.nbs
+
+        det_cfg, seg_cfg = det_loss_config(cfg), seg_loss_config(cfg)
+        self.state = S.create_train_state(self.model, jax.random.PRNGKey(t.seed), cfg.data.imgsz)
+        self._train_step = S.jit_train_step(
+            S.make_train_step(
+                self.model,
+                self.strides,
+                self.spec.nc,
+                det_cfg,
+                seg_cfg,
+                weight_decay=self.weight_decay,
+                ema_decay=t.ema_decay,
+                ema_tau=t.ema_tau,
+            ),
+            self.mesh,
+        )
+        self._eval_step = S.jit_eval_step(
+            S.make_eval_step(self.model, self.strides, self.spec.nc, det_cfg, seg_cfg), self.mesh
+        )
+        self.validator = Validator(self._eval_step, self.val_loader, cfg)
+        self.csv = ResultsCSV(self.save_dir)
+        self.stopper = EarlyStopping(t.patience)
+        self.best_fitness = 0.0
+        self.start_epoch = 0
+        self._rng = jax.random.PRNGKey(t.seed + 1)
+
+        if t.resume:
+            self._try_resume()
+
+    # ------------------------------------------------------------------ utils
+
+    def n_params(self) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.state.params))
+
+    def write_profiling_yaml(self) -> None:
+        """profiling.yaml with params + GFLOPs (reference trainer.py:254-323)."""
+        imgsz = self.cfg.data.imgsz
+
+        def flops_at(sz: int) -> Optional[float]:
+            try:
+                x = jnp.zeros((1, sz, sz, 3), jnp.float32)
+                variables = {"params": {k: v for k, v in self.state.params.items() if k != "mtl_log_vars"}}
+                if self.state.batch_stats:
+                    variables["batch_stats"] = self.state.batch_stats
+                lowered = jax.jit(lambda v, x: self.model.apply(v, x, train=False)).lower(
+                    variables, x
+                )
+                # HLO-level estimate (no compile); fall back to compiled analysis
+                analysis = lowered.cost_analysis()
+                if not analysis or not analysis.get("flops"):
+                    analysis = lowered.compile().cost_analysis()
+                f = analysis.get("flops") if analysis else None
+                return round(f / 1e9, 3) if f else None
+            except Exception:
+                return None
+
+        info = {
+            "parameters": self.n_params(),
+            "trainable_parameters": self.n_params(),
+            f"gflops_at_{imgsz}": flops_at(imgsz),
+            "gflops_at_640": flops_at(640) if imgsz != 640 else None,
+            "model": str(self.cfg.train.model),
+            "scale": self.cfg.train.model_scale,
+        }
+        with open(self.save_dir / "profiling.yaml", "w") as f:
+            yaml.safe_dump(info, f)
+
+    def _collect_alpha_params(self) -> dict:
+        """softplus(beta) gates of attention layers from EMA params
+        (reference trainer.py:274-321)."""
+        out = {}
+        level = {23: "P3", 25: "P4", 27: "P5"}
+        for name, sub in self.state.ema_params.items():
+            if not isinstance(sub, dict) or "beta" not in sub:
+                continue
+            try:
+                idx = int(str(name).split("_")[0][1:])
+            except (ValueError, IndexError):
+                continue
+            tag = level.get(idx, name)
+            out[f"alpha_{tag}"] = float(np.log1p(np.exp(np.asarray(sub["beta"]))))
+        return out
+
+    def _collect_spade_stats(self) -> dict:
+        """SPADE gamma/beta conv weight statistics (reference trainer.py:323-367)."""
+        out = {}
+        level = {23: "P3", 25: "P4", 27: "P5"}
+        for name, sub in self.state.ema_params.items():
+            if not isinstance(sub, dict) or "conv_gamma" not in sub:
+                continue
+            try:
+                idx = int(str(name).split("_")[0][1:])
+            except (ValueError, IndexError):
+                continue
+            tag = level.get(idx, name)
+            g = np.asarray(sub["conv_gamma"]["kernel"])
+            b = np.asarray(sub["conv_beta"]["kernel"])
+            out[f"spade/{tag}/gamma_mean"] = float(g.mean())
+            out[f"spade/{tag}/gamma_std"] = float(g.std())
+            out[f"spade/{tag}/beta_mean"] = float(b.mean())
+            out[f"spade/{tag}/beta_std"] = float(b.std())
+        return out
+
+    # ------------------------------------------------------------ checkpoints
+
+    def save_checkpoint(self, name: str, epoch: int, fitness: float) -> None:
+        meta = {
+            "epoch": epoch,
+            "best_fitness": float(self.best_fitness),
+            "fitness": float(fitness),
+            "model_yaml": str(self.cfg.train.model),
+            "model_scale": self.cfg.train.model_scale,
+            "nc": self.spec.nc,
+            "imgsz": self.cfg.data.imgsz,
+            "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        ckpt_util.save_checkpoint(self.save_dir / "weights" / name, self.state, meta)
+
+    def _try_resume(self) -> None:
+        last = self.save_dir / "weights" / "last"
+        if last.exists():
+            self.state, meta = ckpt_util.load_checkpoint(last, self.state)
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            self.best_fitness = float(meta.get("best_fitness", 0.0))
+            print(f"[MGA] resumed from epoch {self.start_epoch}")
+
+    # ------------------------------------------------------------------ train
+
+    def train(self) -> ValResult:
+        t = self.cfg.train
+        self.write_profiling_yaml()
+        print(
+            f"[MGA] training {t.model} scale={t.model_scale} on "
+            f"{len(self.train_ds)} images, {self.steps_per_epoch} it/epoch, "
+            f"{len(self.mesh.devices)} device(s), {self.n_params() / 1e6:.2f}M params"
+        )
+        last_result: Optional[ValResult] = None
+        for epoch in range(self.start_epoch, t.epochs):
+            self.train_loader.set_epoch(epoch)
+            close_mosaic = (t.epochs - epoch) <= self.cfg.augment.close_mosaic
+            self.train_loader.use_mosaic = not close_mosaic
+
+            tloss = np.zeros(10, np.float64)
+            n_it = 0
+            t0 = time.time()
+            for batch in self.train_loader:
+                batch.pop("index", None)
+                step = int(self.state.step)
+                lr, lr_bias, mom = self.schedule.at(step)
+                self._rng, sub = jax.random.split(self._rng)
+                self.state, metrics = self._train_step(self.state, batch, lr, lr_bias, mom, sub)
+                tloss += np.asarray(metrics["items"], np.float64)
+                n_it += 1
+            tloss /= max(n_it, 1)
+            epoch_time = time.time() - t0
+
+            row = {"epoch": float(epoch + 1)}
+            row.update(loss_items_to_row("train", tloss))
+
+            fitness = 0.0
+            if t.val:
+                art_dir = None
+                if t.save_fm and self._is_capture_epoch(epoch):
+                    art_dir = self.save_dir / "feature_maps" / f"epoch_{epoch + 1}"
+                result = self.validator(self.state, save_artifacts_dir=art_dir,
+                                        max_artifacts=t.save_fm_max)
+                last_result = result
+                row.update(loss_items_to_row("val", result.loss_items))
+                row.update(result.results_dict())
+                fitness = result.metrics.fitness
+
+            lv = np.asarray(self.state.params["mtl_log_vars"])
+            row["mtl/sigma2_det"] = float(np.exp(lv[0]))
+            row["mtl/sigma2_seg"] = float(np.exp(lv[1]))
+            row["mtl/w_det"] = float(np.exp(-lv[0]))
+            row["mtl/w_seg"] = float(np.exp(-lv[1]))
+            row.update(self._collect_alpha_params())
+            row.update(self._collect_spade_stats())
+            row["lr"] = self.schedule.at(int(self.state.step))[0]
+            row["time"] = epoch_time
+            if self.host_id == 0:
+                self.csv.append(row)
+
+            if fitness >= self.best_fitness:
+                self.best_fitness = fitness
+                if self.host_id == 0:
+                    self.save_checkpoint("best", epoch, fitness)
+            if self.host_id == 0:
+                self.save_checkpoint("last", epoch, fitness)
+                if t.save_period > 0 and (epoch + 1) % t.save_period == 0:
+                    self.save_checkpoint(f"epoch{epoch + 1}", epoch, fitness)
+
+            det = row.get("train/det/total", 0.0)
+            seg = row.get("train/seg/total", 0.0)
+            print(
+                f"[MGA] epoch {epoch + 1}/{t.epochs} det={det:.3f} seg={seg:.3f} "
+                f"mAP50={row.get('metrics/mAP50(B)', 0.0):.4f} "
+                f"fitness={fitness:.4f} ({epoch_time:.1f}s)"
+            )
+
+            if self.stopper(epoch, fitness):
+                print(f"[MGA] early stopping at epoch {epoch + 1} (patience {t.patience})")
+                break
+
+        # final eval on the in-memory EMA (reference trainer.py:417-433)
+        if t.val:
+            last_result = self.validator(self.state)
+            print(
+                f"[MGA] final: mAP50={last_result.metrics.map50:.4f} "
+                f"mAP50-95={last_result.metrics.map:.4f}"
+            )
+        return last_result if last_result is not None else ValResult(
+            metrics=__import__("mga_yolo_tpu.utils.metrics", fromlist=["DetMetrics"]).DetMetrics(),
+            loss_items=np.zeros(10, np.float32),
+        )
+
+    def _is_capture_epoch(self, epoch: int) -> bool:
+        """25/50/75/100% timepoints (reference validator.py:397-426)."""
+        e = self.cfg.train.epochs
+        pts = sorted({max(1, round(e * f)) for f in (0.25, 0.5, 0.75, 1.0)})
+        return (epoch + 1) in pts
+
+
+def train(config: dict | str | Path | MGAConfig, **overrides):
+    """Programmatic entry mirroring `mga_yolo/engine/train.py:10` train(cfg)."""
+    from mga_yolo_tpu.config import load_config
+
+    cfg = config if isinstance(config, MGAConfig) else load_config(config, **overrides)
+    trainer = MGATrainer(cfg)
+    return trainer.train()

@@ -1,0 +1,117 @@
+"""Validation loop: device inference -> host NMS -> mAP + artifact capture.
+
+Re-implements the reference `MGAValidator`
+(`/root/reference/mga_yolo/model/validator.py:18-508`): detection metrics
+(mAP50/50-95/P/R) plus the feature-map / predicted-mask capture subsystem.
+Where the reference registers forward hooks, the TPU build simply asks the
+model for taps (`tap_indices`) — intermediates are ordinary outputs of the
+jitted forward (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from mga_yolo_tpu.config import MGAConfig
+from mga_yolo_tpu.data.loader import DataLoader
+from mga_yolo_tpu.ops.nms import nms_numpy
+from mga_yolo_tpu.utils.metrics import DetMetrics, MetricAccumulator
+
+
+@dataclasses.dataclass
+class ValResult:
+    metrics: DetMetrics
+    loss_items: np.ndarray  # (10,) mean val loss items
+    n_images: int = 0
+
+    def results_dict(self):
+        return self.metrics.results_dict()
+
+
+class Validator:
+    """Runs the jitted eval step over a loader and computes detection metrics."""
+
+    def __init__(
+        self,
+        eval_fn: Callable,
+        loader: DataLoader,
+        cfg: MGAConfig,
+        conf_thres: float = 0.001,
+        iou_thres: float = 0.7,
+        max_det: int = 300,
+    ):
+        self.eval_fn = eval_fn
+        self.loader = loader
+        self.cfg = cfg
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.max_det = max_det
+
+    def __call__(
+        self,
+        state,
+        save_artifacts_dir: Optional[Path] = None,
+        max_artifacts: int = 4,
+    ) -> ValResult:
+        acc = MetricAccumulator()
+        items_sum = np.zeros(10, np.float64)
+        n_batches = 0
+        n_images = 0
+        saved = 0
+
+        for batch in self.loader:
+            batch = dict(batch)
+            batch.pop("index", None)
+            out = self.eval_fn(state, batch)
+            decoded = np.asarray(out["decoded"])  # (B, A, 4+nc) xywh px
+            items_sum += np.asarray(out["items"], np.float64)
+            n_batches += 1
+
+            gt_boxes = batch["gt_boxes"]
+            gt_labels = batch["gt_labels"]
+            mask_gt = batch["mask_gt"]
+            for i in range(decoded.shape[0]):
+                dets = nms_numpy(
+                    decoded[i],
+                    conf_thres=self.conf_thres,
+                    iou_thres=self.iou_thres,
+                    max_det=self.max_det,
+                )
+                n = int(mask_gt[i].sum())
+                acc.update(
+                    dets[:, :4],
+                    dets[:, 4],
+                    dets[:, 5],
+                    gt_boxes[i, :n],
+                    gt_labels[i, :n].astype(np.float32),
+                )
+                n_images += 1
+
+            if save_artifacts_dir is not None and saved < max_artifacts:
+                self._save_batch_artifacts(batch, out, save_artifacts_dir, saved)
+                saved += 1
+
+        items = items_sum / max(n_batches, 1)
+        return ValResult(metrics=acc.compute(), loss_items=items.astype(np.float32), n_images=n_images)
+
+    def _save_batch_artifacts(self, batch, out, root: Path, batch_idx: int) -> None:
+        """Sigmoid-mask PNGs + raw seg tensors (reference validator.py:342-394)."""
+        import cv2
+
+        root = Path(root)
+        (root / "preds").mkdir(parents=True, exist_ok=True)
+        for sk, logits in out["seg"].items():
+            arr = np.asarray(logits)
+            prob = 1.0 / (1.0 + np.exp(-arr))
+            np.save(root / "preds" / f"batch{batch_idx}_{sk}.npy", arr)
+            for i in range(min(arr.shape[0], 4)):
+                img = (prob[i, ..., 0] * 255).astype(np.uint8)
+                cv2.imwrite(str(root / "preds" / f"batch{batch_idx}_img{i}_{sk}.png"), img)
+        if "taps" in out:
+            (root / "fm").mkdir(parents=True, exist_ok=True)
+            for idx, feat in out["taps"].items():
+                np.save(root / "fm" / f"batch{batch_idx}_layer{idx}.npy", np.asarray(feat))

@@ -1,0 +1,102 @@
+"""Checkpointing: orbax save/restore + rebuild-from-YAML minimal loading.
+
+Replaces the reference's dual checkpoint formats (pickle .pt +
+"minimal state-dict" .pt, SURVEY.md §5.4) with one canonical orbax format
+holding {params, batch_stats, ema_params, ema_batch_stats, momentum_buf,
+step} plus a JSON metadata sidecar, while keeping the reference's
+"rebuild model from YAML + state only" property
+(`/root/reference/mga_yolo/model/checkpoint.py:19-99`) including nc
+inference from metadata.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str | Path, state, metadata: dict) -> None:
+    """Write an orbax checkpoint + metadata.json."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    payload = {
+        "step": np.asarray(state.step),
+        "params": _to_numpy_tree(state.params),
+        "batch_stats": _to_numpy_tree(state.batch_stats),
+        "momentum_buf": _to_numpy_tree(state.momentum_buf),
+        "ema_params": _to_numpy_tree(state.ema_params),
+        "ema_batch_stats": _to_numpy_tree(state.ema_batch_stats),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    (path.parent / (path.name + ".meta.json")).write_text(json.dumps(metadata, indent=2))
+
+
+def load_checkpoint(path: str | Path, state) -> Tuple[Any, dict]:
+    """Restore into an existing TrainState (template provides the structure)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    template = {
+        "step": np.asarray(state.step),
+        "params": _to_numpy_tree(state.params),
+        "batch_stats": _to_numpy_tree(state.batch_stats),
+        "momentum_buf": _to_numpy_tree(state.momentum_buf),
+        "ema_params": _to_numpy_tree(state.ema_params),
+        "ema_batch_stats": _to_numpy_tree(state.ema_batch_stats),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, template)
+    meta_path = path.parent / (path.name + ".meta.json")
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    new_state = state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        momentum_buf=restored["momentum_buf"],
+        ema_params=restored["ema_params"],
+        ema_batch_stats=restored["ema_batch_stats"],
+    )
+    return new_state, meta
+
+
+def rebuild_from_checkpoint(path: str | Path, model_yaml: Optional[str] = None,
+                            scale: Optional[str] = None, prefer_ema: bool = True):
+    """Rebuild (model, variables, meta) from a checkpoint directory alone.
+
+    Mirrors `rebuild_mga_model_from_minimal_ckpt`: the model graph is rebuilt
+    from the YAML recorded in metadata (or an override), nc comes from
+    metadata, and EMA weights are preferred (reference checkpoint.py:46).
+    """
+    import orbax.checkpoint as ocp
+
+    from mga_yolo_tpu.models.yolo import create_model
+    from mga_yolo_tpu.train.state import create_train_state
+
+    path = Path(path).absolute()
+    meta_path = path.parent / (path.name + ".meta.json")
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    model_yaml = model_yaml or meta.get("model_yaml")
+    scale = scale or meta.get("model_scale", "n")
+    nc = meta.get("nc")
+    if model_yaml is None:
+        raise ValueError("model YAML unknown: pass model_yaml or keep metadata.json")
+
+    model, spec = create_model(model_yaml, scale=scale, nc=nc)
+    state = create_train_state(model, jax.random.PRNGKey(0), imgsz=int(meta.get("imgsz", 64)))
+    state, _ = load_checkpoint(path, state)
+    params = state.ema_params if prefer_ema else state.params
+    variables = {"params": {k: v for k, v in params.items() if k != "mtl_log_vars"}}
+    bs = state.ema_batch_stats if prefer_ema else state.batch_stats
+    if bs:
+        variables["batch_stats"] = bs
+    return model, variables, meta

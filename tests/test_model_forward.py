@@ -43,8 +43,8 @@ def test_forward_shapes(variant):
     """Forward on (2,128,128,3) returns det maps + 3 seg scales of correct rank."""
     model, spec = create_model(f"configs/models/yolov8_{variant}.yaml", scale="n")
     x = jnp.zeros((2, 128, 128, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    out = model.apply(variables, x, train=True, mutable=["batch_stats"])[0]
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(jax.random.PRNGKey(0), x)
+    out = jax.jit(lambda v, x: model.apply(v, x, train=True, mutable=["batch_stats"]))(variables, x)[0]
     det, seg = out["det"], out["seg"]
     assert isinstance(det, list) and len(det) == 3
     no = 4 * 16 + spec.nc
@@ -59,8 +59,8 @@ def test_forward_shapes(variant):
 def test_eval_decode_shape():
     model, spec = create_model(CBAM_YAML, scale="n")
     x = jnp.zeros((1, 128, 128, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    out = model.apply(variables, x, train=False)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(jax.random.PRNGKey(0), x)
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
     decoded, raw = out["det"]
     A = 16 * 16 + 8 * 8 + 4 * 4
     assert decoded.shape == (1, A, 4 + spec.nc)
@@ -73,8 +73,8 @@ def test_taps():
     """Functional feature taps replace the reference's forward hooks."""
     model, _ = create_model(CBAM_YAML, scale="n", tap_indices=(23, 25, 27))
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    out = model.apply(variables, x, train=False)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(jax.random.PRNGKey(0), x)
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
     assert set(out["taps"].keys()) == {23, 25, 27}
     assert out["taps"][23].shape == (1, 8, 8, 64)
 
@@ -82,7 +82,7 @@ def test_taps():
 def test_jit_forward_and_grad():
     model, _ = create_model(CBAM_YAML, scale="n")
     x = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.5
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(jax.random.PRNGKey(0), x)
 
     @jax.jit
     def loss_fn(params):
