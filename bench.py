@@ -1,0 +1,88 @@
+"""Benchmark: YOLOv8n-MGA (CBAM) inference throughput at 640 px on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the torch reference measured on this sandbox's CPU:
+6.54 img/s (640 px, batch 1, eval forward — see BASELINE.md).
+
+Measurement notes:
+* This environment's device tunnel is fully async — ``block_until_ready``
+  returns early — so wall-timing single dispatches is meaningless.  Instead we
+  time two jitted programs that chain K1 and K2 *data-dependent* forwards and
+  take (t_K2 - t_K1) / (K2 - K1): tunnel latency and fetch cost cancel out.
+* bf16 params + activations (v5e MXU native), batch 32.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMG_S = 6.54  # torch reference, CPU, 640px b1 (BASELINE.md)
+IMGSZ = 640
+BATCH = 32
+K1, K2 = 1, 5
+REPS = 5
+
+
+def make_chained_forward(model, n_chain: int, dtype):
+    @jax.jit
+    def forward(v, x):
+        s = jnp.asarray(0, dtype)
+        out = None
+        for _ in range(n_chain):
+            out = model.apply(v, x + s, train=False)["det"][0]
+            s = s + (jnp.sum(out) * 1e-20).astype(dtype)  # serialize iterations
+        return jnp.sum(out)
+
+    return forward
+
+
+def main() -> None:
+    from mga_yolo_tpu.models.yolo import create_model
+    from mga_yolo_tpu.train import state as S
+
+    dtype = jnp.bfloat16
+    model, spec = create_model("configs/models/yolov8_cbam.yaml", scale="n", nc=1)
+    st = S.create_train_state(model, jax.random.PRNGKey(0), imgsz=256)
+    variables = {"params": {k: v for k, v in st.params.items() if k != "mtl_log_vars"}}
+    if st.batch_stats:
+        variables["batch_stats"] = st.batch_stats
+    v = jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, variables
+    )
+    x = jnp.asarray(np.random.default_rng(0).random((BATCH, IMGSZ, IMGSZ, 3)), dtype)
+
+    f1 = make_chained_forward(model, K1, dtype)
+    f2 = make_chained_forward(model, K2, dtype)
+    float(f1(v, x))  # compile
+    float(f2(v, x))
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        float(f1(v, x))
+    t_k1 = (time.perf_counter() - t0) / REPS
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        float(f2(v, x))
+    t_k2 = (time.perf_counter() - t0) / REPS
+
+    per_forward = (t_k2 - t_k1) / (K2 - K1)
+    ips = BATCH / per_forward
+    print(
+        json.dumps(
+            {
+                "metric": f"YOLOv8n-MGA images/sec/chip at 640px (bf16, batch {BATCH})",
+                "value": round(ips, 1),
+                "unit": "img/s",
+                "vs_baseline": round(ips / BASELINE_IMG_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

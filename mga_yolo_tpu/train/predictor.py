@@ -1,0 +1,126 @@
+"""Inference API: images -> detection Results with attached MGA masks.
+
+Re-implements the reference predict path (`YOLO.predict` ->
+`BasePredictor.stream_inference` -> `MGAPredictor.postprocess`,
+`/root/reference/mga_yolo/model/predictor.py:7-24`): letterbox preprocess,
+jitted batched forward, NMS, box rescale to original image coords, and the
+per-image seg logits attached as ``Results.mga_masks`` {p3,p4,p5}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mga_yolo_tpu.data.transforms import letterbox
+from mga_yolo_tpu.ops.nms import nms_numpy
+
+
+@dataclasses.dataclass
+class Results:
+    """Per-image prediction container (subset of the reference Results API)."""
+
+    path: str
+    orig_shape: tuple[int, int]
+    boxes: np.ndarray            # (N, 6) [x1, y1, x2, y2, conf, cls] in ORIGINAL coords
+    mga_masks: Dict[str, np.ndarray]  # {"p3","p4","p5"}: (h, w) sigmoid probs
+
+    def __len__(self) -> int:
+        return len(self.boxes)
+
+    def plot(self, img: Optional[np.ndarray] = None) -> np.ndarray:
+        im = img if img is not None else cv2.imread(self.path)
+        for x1, y1, x2, y2, conf, c in self.boxes:
+            cv2.rectangle(im, (int(x1), int(y1)), (int(x2), int(y2)), (0, 255, 0), 2)
+            cv2.putText(
+                im, f"{int(c)}:{conf:.2f}", (int(x1), max(0, int(y1) - 4)),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1,
+            )
+        return im
+
+
+def scale_boxes(boxes: np.ndarray, ratio_pad, orig_shape) -> np.ndarray:
+    """Letterboxed coords -> original image coords (reference ops.py:105)."""
+    r, (left, top) = ratio_pad
+    out = boxes.copy()
+    out[:, [0, 2]] = (out[:, [0, 2]] - left) / r
+    out[:, [1, 3]] = (out[:, [1, 3]] - top) / r
+    out[:, [0, 2]] = out[:, [0, 2]].clip(0, orig_shape[1])
+    out[:, [1, 3]] = out[:, [1, 3]].clip(0, orig_shape[0])
+    return out
+
+
+class MGAPredictor:
+    def __init__(
+        self,
+        model,
+        variables,
+        imgsz: int = 640,
+        conf: float = 0.25,
+        iou: float = 0.45,
+        max_det: int = 300,
+        dtype=jnp.float32,
+    ):
+        self.model = model
+        self.imgsz = imgsz
+        self.conf = conf
+        self.iou = iou
+        self.max_det = max_det
+        self.dtype = dtype
+        self.variables = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, variables
+        )
+        self._forward = jax.jit(self._fwd)
+
+    def _fwd(self, v, x):
+        out = self.model.apply(v, x.astype(self.dtype) / 255.0, train=False)
+        decoded, _ = out["det"]
+        return decoded, out["seg"]
+
+    def __call__(self, sources: Iterable[str | np.ndarray], batch_size: int = 16) -> List[Results]:
+        items = list(sources)
+        results: List[Results] = []
+        for start in range(0, len(items), batch_size):
+            chunk = items[start : start + batch_size]
+            imgs, metas = [], []
+            for src in chunk:
+                if isinstance(src, (str, Path)):
+                    img = cv2.imread(str(src))
+                    path = str(src)
+                else:
+                    img, path = src, "<array>"
+                lb = letterbox({"img": img, "boxes": np.zeros((0, 4), np.float32),
+                                "cls": np.zeros((0,), np.float32)}, self.imgsz, scaleup=False)
+                imgs.append(lb["img"])
+                metas.append((path, img.shape[:2], lb["ratio_pad"]))
+            x = jnp.asarray(np.stack(imgs))
+            decoded, seg = self._forward(self.variables, x)
+            decoded = np.asarray(decoded, np.float32)
+            seg_np = {k: np.asarray(v, np.float32) for k, v in seg.items()}
+            for i, (path, orig_shape, ratio_pad) in enumerate(metas):
+                dets = nms_numpy(decoded[i], self.conf, self.iou, self.max_det)
+                dets[:, :4] = scale_boxes(dets[:, :4], ratio_pad, orig_shape)
+                masks = {
+                    k: 1.0 / (1.0 + np.exp(-seg_np[k][i, ..., 0])) for k in seg_np
+                }
+                results.append(Results(path, orig_shape, dets, masks))
+        return results
+
+
+def load_predictor(
+    ckpt_path: str | Path,
+    model_yaml: Optional[str] = None,
+    scale: Optional[str] = None,
+    imgsz: Optional[int] = None,
+    **kw,
+) -> MGAPredictor:
+    from mga_yolo_tpu.utils.checkpoint import rebuild_from_checkpoint
+
+    model, variables, meta = rebuild_from_checkpoint(ckpt_path, model_yaml, scale)
+    return MGAPredictor(model, variables, imgsz=imgsz or int(meta.get("imgsz", 640)), **kw)

@@ -68,6 +68,9 @@ def _patch_importlib_metadata():
 def setup_reference_paths():
     _install_torchvision_stub()
     _patch_importlib_metadata()
-    for p in ("/root/reference", "/root/reference/mga_yolo/external/ultralytics"):
-        if p not in sys.path:
-            sys.path.insert(0, p)
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    # mga_yolo/__init__ installs the vendored-ultralytics bridge on sys.path,
+    # making `import ultralytics` resolve to the same module objects the
+    # reference uses (avoids a duplicate package + circular imports).
+    import mga_yolo  # noqa: F401
