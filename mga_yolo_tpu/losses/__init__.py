@@ -66,6 +66,10 @@ def mga_loss(
     det_maps = outputs["det"]
     if isinstance(det_maps, tuple):  # eval-mode output (decoded, raw)
         det_maps = det_maps[1]
+    # AMP boundary: losses always in float32 (reference computes seg loss and
+    # assigner math in fp32 under autocast too)
+    det_maps = [m.astype(jnp.float32) for m in det_maps]
+    outputs = {**outputs, "seg": {k: v.astype(jnp.float32) for k, v in outputs["seg"].items()}}
     l_det, det_comps = v8_detection_loss(
         det_maps, strides, batch["gt_labels"], batch["gt_bboxes"], batch["mask_gt"], nc, det_cfg
     )

@@ -58,6 +58,12 @@ def normalize_images(images: jax.Array) -> jax.Array:
     return images.astype(jnp.float32) / 255.0
 
 
+def _cast_floating(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+    )
+
+
 def make_train_step(
     model,
     strides: Sequence[int],
@@ -68,12 +74,24 @@ def make_train_step(
     ema_decay: float,
     ema_tau: float,
     accumulate: int = 1,
+    compute_dtype=jnp.float32,
 ) -> Callable:
-    """Build the pure train-step function (to be jitted by the caller)."""
+    """Build the pure train-step function (to be jitted by the caller).
+
+    Mixed precision (``compute_dtype=bfloat16``): master params stay float32;
+    a bf16 copy feeds the forward (the cast is fused by XLA), losses are
+    computed in float32 (mga_loss casts at entry), and gradients flow back to
+    the float32 masters — the TPU equivalent of the reference's
+    autocast+GradScaler AMP (reference trainer.py `_do_train`); no loss
+    scaling is needed since bf16 shares float32's exponent range.
+    """
 
     def loss_fn(params, batch_stats, batch, rng):
-        images = normalize_images(batch["image"])
-        model_vars = {"params": {k: v for k, v in params.items() if k != "mtl_log_vars"}}
+        images = normalize_images(batch["image"]).astype(compute_dtype)
+        fwd_params = {k: v for k, v in params.items() if k != "mtl_log_vars"}
+        if compute_dtype != jnp.float32:
+            fwd_params = _cast_floating(fwd_params, compute_dtype)
+        model_vars = {"params": fwd_params}
         if batch_stats:
             model_vars["batch_stats"] = batch_stats
         out, mutated = model.apply(
@@ -92,7 +110,9 @@ def make_train_step(
         total, items, logs = mga_loss(
             out, loss_batch, strides, nc, params["mtl_log_vars"], det_cfg, seg_cfg
         )
-        return total, (mutated.get("batch_stats", {}), items, logs)
+        # running stats stay float32 masters regardless of compute dtype
+        new_bs = _cast_floating(mutated.get("batch_stats", {}), jnp.float32)
+        return total, (new_bs, items, logs)
 
     def train_step(state: TrainState, batch, lr, lr_bias, momentum, rng):
         (total, (new_bs, items, logs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -130,19 +150,26 @@ def make_train_step(
 
 
 def make_eval_step(
-    model, strides: Sequence[int], nc: int, det_cfg: DetLossConfig, seg_cfg: SegLossConfig
+    model,
+    strides: Sequence[int],
+    nc: int,
+    det_cfg: DetLossConfig,
+    seg_cfg: SegLossConfig,
+    compute_dtype=jnp.float32,
 ) -> Callable:
     """Eval step on EMA weights: decoded predictions + val loss items."""
 
     def eval_step(state: TrainState, batch):
-        images = normalize_images(batch["image"])
-        model_vars = {
-            "params": {k: v for k, v in state.ema_params.items() if k != "mtl_log_vars"}
-        }
+        images = normalize_images(batch["image"]).astype(compute_dtype)
+        ema = {k: v for k, v in state.ema_params.items() if k != "mtl_log_vars"}
+        if compute_dtype != jnp.float32:
+            ema = _cast_floating(ema, compute_dtype)
+        model_vars = {"params": ema}
         if state.ema_batch_stats:
             model_vars["batch_stats"] = state.ema_batch_stats
         out = model.apply(model_vars, images, train=False)
         decoded, raw = out["det"]
+        decoded = decoded.astype(jnp.float32)
         loss_batch = {
             "gt_labels": batch["gt_labels"],
             "gt_bboxes": batch["gt_boxes"],

@@ -108,6 +108,9 @@ class MGATrainer:
         self.weight_decay = t.weight_decay * t.batch * accumulate / t.nbs
 
         det_cfg, seg_cfg = det_loss_config(cfg), seg_loss_config(cfg)
+        # AMP = bf16 compute on TPU; float32 on CPU (where bf16 is emulated)
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        self.compute_dtype = jnp.bfloat16 if (t.amp and on_tpu) else jnp.float32
         self.state = S.create_train_state(self.model, jax.random.PRNGKey(t.seed), cfg.data.imgsz)
         self._train_step = S.jit_train_step(
             S.make_train_step(
@@ -119,11 +122,16 @@ class MGATrainer:
                 weight_decay=self.weight_decay,
                 ema_decay=t.ema_decay,
                 ema_tau=t.ema_tau,
+                compute_dtype=self.compute_dtype,
             ),
             self.mesh,
         )
         self._eval_step = S.jit_eval_step(
-            S.make_eval_step(self.model, self.strides, self.spec.nc, det_cfg, seg_cfg), self.mesh
+            S.make_eval_step(
+                self.model, self.strides, self.spec.nc, det_cfg, seg_cfg,
+                compute_dtype=self.compute_dtype,
+            ),
+            self.mesh,
         )
         self.validator = Validator(self._eval_step, self.val_loader, cfg)
         self.csv = ResultsCSV(self.save_dir)
