@@ -18,13 +18,18 @@ import json
 import time
 
 import jax
+
+# persistent compile cache: first-ever compile of the 640px graph is slow on
+# the remote-compile tunnel; cache it next to the repo for later runs
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
 BASELINE_IMG_S = 6.54  # torch reference, CPU, 640px b1 (BASELINE.md)
 IMGSZ = 640
 BATCH = 32
-K1, K2 = 1, 5
+K1, K2 = 1, 3
 REPS = 5
 
 

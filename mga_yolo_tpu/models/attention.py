@@ -124,6 +124,7 @@ class MaskCBAM(nn.Module):
     eps: float = 1e-6
     prob_mode: bool = False
     prob_approach: str = "gumbel"
+    use_pallas: bool = False  # fused masked-pool kernel (TPU)
 
     @nn.compact
     def __call__(
@@ -136,7 +137,12 @@ class MaskCBAM(nn.Module):
             mask = ProbMaskGater(mode=self.prob_approach, name="gater")(mask, train)
 
         # ---- CAM: masked avg/max descriptors -> shared MLP -> sigmoid gate ----
-        if mask is not None:
+        if mask is not None and self.use_pallas:
+            from mga_yolo_tpu.ops.pallas.masked_pool import masked_pool_fused
+
+            m = _sigmoid_mask(mask, self.use_sigmoid_mask)
+            avg, mx = masked_pool_fused(feat, m, self.tiny_mask_thr, self.eps)
+        elif mask is not None:
             m = _sigmoid_mask(mask, self.use_sigmoid_mask)
             avg = masked_avg_pool(feat, m, self.tiny_mask_thr, self.eps)
             mx = masked_max_pool(feat, m)
@@ -196,13 +202,19 @@ class MaskECA(nn.Module):
     use_sigmoid_mask: bool = True
     tiny_mask_thr: float = 1e-4
     eps: float = 1e-6
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
         self, feat: jax.Array, mask: Optional[jax.Array] = None, train: bool = False
     ) -> jax.Array:
         C = feat.shape[-1]
-        if mask is not None:
+        if mask is not None and self.use_pallas:
+            from mga_yolo_tpu.ops.pallas.masked_pool import masked_pool_fused
+
+            m = _sigmoid_mask(mask, self.use_sigmoid_mask)
+            y, _ = masked_pool_fused(feat, m, self.tiny_mask_thr, self.eps)
+        elif mask is not None:
             m = _sigmoid_mask(mask, self.use_sigmoid_mask)
             y = masked_avg_pool(feat, m, self.tiny_mask_thr, self.eps)  # (B,C)
         else:

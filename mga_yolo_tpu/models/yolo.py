@@ -52,7 +52,7 @@ def compute_strides(spec: GraphSpec) -> dict[int, int]:
     return strides
 
 
-def build_node(node: NodeSpec, spec: GraphSpec, strides: dict[int, int]) -> Optional[nn.Module]:
+def build_node(node: NodeSpec, spec: GraphSpec, strides: dict[int, int], use_pallas: bool = False) -> Optional[nn.Module]:
     """Instantiate the Flax module for one graph node (None for inline ops)."""
     m, a = node.module, node.args
     name = f"l{node.index}_{m}"
@@ -81,9 +81,9 @@ def build_node(node: NodeSpec, spec: GraphSpec, strides: dict[int, int]) -> Opti
     if m == "MGAMaskHead":
         return MGAMaskHead(hidden=a[0], out_ch=a[1] if len(a) > 1 else 1, name=name)
     if m == "MaskCBAM":
-        return MaskCBAM(channels=a[0], name=name)
+        return MaskCBAM(channels=a[0], use_pallas=use_pallas, name=name)
     if m == "MaskECA":
-        return MaskECA(channels=a[0], name=name)
+        return MaskECA(channels=a[0], use_pallas=use_pallas, name=name)
     if m == "MaskSPADE":
         return MaskSPADE(channels=a[0], name=name)
     if m == "Detect":
@@ -111,13 +111,14 @@ class MGAModel(nn.Module):
 
     spec: GraphSpec
     tap_indices: tuple[int, ...] = ()
+    use_pallas: bool = False  # fused Pallas kernels in attention blocks (TPU)
 
     def setup(self):
         strides = compute_strides(self.spec)
         self._strides = strides
         mods = {}
         for node in self.spec.nodes:
-            mod = build_node(node, self.spec, strides)
+            mod = build_node(node, self.spec, strides, self.use_pallas)
             if mod is not None:
                 mods[node.index] = mod
         self.blocks = mods
@@ -172,10 +173,14 @@ class MGAModel(nn.Module):
 
 
 def create_model(
-    cfg: str | dict, scale: str | None = None, nc: int | None = None, tap_indices=()
+    cfg: str | dict,
+    scale: str | None = None,
+    nc: int | None = None,
+    tap_indices=(),
+    use_pallas: bool = False,
 ) -> tuple[MGAModel, GraphSpec]:
     """Parse YAML + build the model in one call."""
     from mga_yolo_tpu.graph import parse_graph
 
     spec = parse_graph(cfg, scale=scale, nc=nc)
-    return MGAModel(spec=spec, tap_indices=tuple(tap_indices)), spec
+    return MGAModel(spec=spec, tap_indices=tuple(tap_indices), use_pallas=use_pallas), spec
