@@ -1,0 +1,201 @@
+"""Plot implementations (matplotlib Agg, headless-safe)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+import yaml
+
+DET_COLS = ["train/det/box", "train/det/cls", "train/det/dfl", "train/det/total"]
+VAL_DET_COLS = ["val/det/box", "val/det/cls", "val/det/dfl", "val/det/total"]
+SEG_COLS = [
+    "train/seg/p3_bce", "train/seg/p3_dice", "train/seg/p4_bce", "train/seg/p4_dice",
+    "train/seg/p5_bce", "train/seg/p5_dice", "train/seg/total",
+]
+METRIC_COLS = [
+    "metrics/precision(B)", "metrics/recall(B)", "metrics/mAP50(B)", "metrics/mAP50-95(B)",
+]
+
+
+def _smooth(y: np.ndarray, sigma: float = 2.0) -> np.ndarray:
+    """Gaussian smoothing (reference plot_results smooth_sigma param)."""
+    if sigma <= 0 or len(y) < 5:
+        return y
+    from scipy.ndimage import gaussian_filter1d
+
+    return gaussian_filter1d(y.astype(float), sigma, mode="nearest")
+
+
+def _plot_panel(ax, df: pd.DataFrame, col: str, smooth_sigma: float):
+    if col not in df.columns:
+        ax.set_visible(False)
+        return
+    y = pd.to_numeric(df[col], errors="coerce").to_numpy()
+    x = df["epoch"].to_numpy()
+    ax.plot(x, y, ".", markersize=3, alpha=0.4, label="raw")
+    ax.plot(x, _smooth(y, smooth_sigma), "-", linewidth=1.5, label="smooth")
+    ax.set_title(col, fontsize=8)
+    ax.tick_params(labelsize=7)
+
+
+def plot_results(
+    csv_path: str | Path, save: Optional[str | Path] = None, smooth_sigma: float = 2.0
+) -> Path:
+    """Training-curves figure for one run (reference plotting.py:860-1200)."""
+    csv_path = Path(csv_path)
+    df = pd.read_csv(csv_path)
+    cols = [c for c in DET_COLS + VAL_DET_COLS + SEG_COLS + METRIC_COLS if c in df.columns]
+    n = len(cols)
+    ncols = 4
+    nrows = -(-n // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(3.2 * ncols, 2.4 * nrows), squeeze=False)
+    for i, col in enumerate(cols):
+        _plot_panel(axes[i // ncols][i % ncols], df, col, smooth_sigma)
+    for j in range(n, nrows * ncols):
+        axes[j // ncols][j % ncols].set_visible(False)
+    fig.tight_layout()
+    out = Path(save) if save else csv_path.parent / "results.png"
+    fig.savefig(out, dpi=180)
+    plt.close(fig)
+    return out
+
+
+def model_comparison(
+    runs: Dict[str, str | Path],
+    save_dir: str | Path,
+    smooth_sigma: float = 2.0,
+) -> list[Path]:
+    """N-run comparison: det-loss 2x4 grid, seg-loss grid, val-metric panel.
+
+    ``runs`` maps display name -> results.csv path (reference
+    model_comparison.py YAML spec surface).
+    """
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    dfs = {name: pd.read_csv(p) for name, p in runs.items()}
+    outs = []
+
+    panels = [
+        ("det_losses.png", DET_COLS + VAL_DET_COLS, (2, 4)),
+        ("seg_losses.png", SEG_COLS + [c.replace("train/", "val/") for c in SEG_COLS], (4, 4)),
+        ("val_metrics.png", METRIC_COLS, (1, 4)),
+    ]
+    for fname, cols, (nr, nc) in panels:
+        fig, axes = plt.subplots(nr, nc, figsize=(3.2 * nc, 2.4 * nr), squeeze=False)
+        flat = [a for row in axes for a in row]
+        for ax, col in zip(flat, cols):
+            any_data = False
+            for name, df in dfs.items():
+                if col in df.columns:
+                    y = pd.to_numeric(df[col], errors="coerce").to_numpy()
+                    ax.plot(df["epoch"], _smooth(y, smooth_sigma), linewidth=1.2, label=name)
+                    any_data = True
+            if any_data:
+                ax.set_title(col, fontsize=8)
+                ax.tick_params(labelsize=7)
+            else:
+                ax.set_visible(False)
+        for ax in flat[len(cols):]:
+            ax.set_visible(False)
+        if flat and any(a.get_visible() for a in flat):
+            handles, labels = flat[0].get_legend_handles_labels()
+            if handles:
+                fig.legend(handles, labels, loc="lower center", ncol=min(4, len(runs)), fontsize=8)
+        fig.tight_layout(rect=(0, 0.05, 1, 1))
+        out = save_dir / fname
+        fig.savefig(out, dpi=180)
+        plt.close(fig)
+        outs.append(out)
+    return outs
+
+
+def pareto_performance(
+    runs: Sequence[dict],
+    save: str | Path,
+    metric: str = "metrics/mAP50(B)",
+) -> Path:
+    """mAP-vs-size Pareto front (reference pareto_performance_size.py).
+
+    Each run dict: {name, results_csv, profiling_yaml, group(optional)}.
+    Uses the best epoch of ``metric`` and the params count from
+    profiling.yaml; marks the non-dominated front.
+    """
+    pts = []
+    for r in runs:
+        df = pd.read_csv(r["results_csv"])
+        best = float(pd.to_numeric(df[metric], errors="coerce").max()) if metric in df else 0.0
+        with open(r["profiling_yaml"]) as f:
+            prof = yaml.safe_load(f)
+        params = prof.get("parameters", 0) / 1e6
+        pts.append((r.get("name", Path(r["results_csv"]).parent.name), params, best,
+                    r.get("group", "run")))
+
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    groups = sorted({p[3] for p in pts})
+    for g in groups:
+        sel = [p for p in pts if p[3] == g]
+        ax.scatter([p[1] for p in sel], [p[2] for p in sel], label=g, s=30)
+        for name, x, y, _ in sel:
+            ax.annotate(name, (x, y), fontsize=6, xytext=(3, 3), textcoords="offset points")
+
+    # non-dominated front: sort by params, keep strictly improving metric
+    srt = sorted(pts, key=lambda p: p[1])
+    front, best_y = [], -1.0
+    for p in srt:
+        if p[2] > best_y:
+            front.append(p)
+            best_y = p[2]
+    ax.plot([p[1] for p in front], [p[2] for p in front], "k--", linewidth=1, label="Pareto front")
+    ax.set_xlabel("Parameters (M)")
+    ax.set_ylabel(metric)
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    save = Path(save)
+    fig.savefig(save, dpi=180)
+    plt.close(fig)
+    return save
+
+
+def mask_showcase(
+    mask: np.ndarray,
+    save: str | Path,
+    strides: Sequence[int] = (8, 16, 32),
+    methods: Sequence[str] = ("nearest", "area", "maxpool", "gaussian_maxpool", "skeleton_bresenham"),
+) -> Path:
+    """Side-by-side downsampling-method panels per pyramid level
+    (reference mask_showcase_ds.py)."""
+    from mga_yolo_tpu.config import MaskPipelineConfig
+    from mga_yolo_tpu.data.mask_ops import downsample_mask
+
+    fig, axes = plt.subplots(
+        len(strides), len(methods) + 1,
+        figsize=(2.0 * (len(methods) + 1), 2.0 * len(strides)),
+        squeeze=False,
+    )
+    for i, s in enumerate(strides):
+        axes[i][0].imshow(mask, cmap="gray")
+        axes[i][0].set_ylabel(f"/{s}", fontsize=9)
+        axes[i][0].set_xticks([])
+        axes[i][0].set_yticks([])
+        if i == 0:
+            axes[i][0].set_title("original", fontsize=8)
+        for j, meth in enumerate(methods):
+            out = downsample_mask(mask, s, MaskPipelineConfig(method=meth, skeleton_strict=True))
+            ax = axes[i][j + 1]
+            ax.imshow(out, cmap="gray", interpolation="nearest")
+            ax.set_xticks([])
+            ax.set_yticks([])
+            if i == 0:
+                ax.set_title(meth, fontsize=8)
+    fig.tight_layout()
+    save = Path(save)
+    fig.savefig(save, dpi=180)
+    plt.close(fig)
+    return save

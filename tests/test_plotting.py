@@ -1,0 +1,64 @@
+"""Plotting suite smoke tests on synthetic results.csv
+(mirrors reference tests/test_plot_results.py — Agg backend, synthetic schema)."""
+
+import numpy as np
+import pytest
+import yaml
+
+from mga_yolo_tpu.utils.csvlog import HEADER_ORDER, ResultsCSV
+
+
+def _synthetic_results(path, epochs=12, seed=0):
+    rng = np.random.default_rng(seed)
+    csv = ResultsCSV(path)
+    for e in range(epochs):
+        row = {"epoch": float(e + 1)}
+        decay = np.exp(-e / 6)
+        for col in HEADER_ORDER[1:]:
+            row[col] = float(decay * rng.uniform(0.5, 2.0))
+        row["metrics/precision(B)"] = float(1 - decay * 0.5)
+        row["metrics/recall(B)"] = float(1 - decay * 0.6)
+        row["metrics/mAP50(B)"] = float(1 - decay * 0.7)
+        row["metrics/mAP50-95(B)"] = float(1 - decay * 0.8)
+        row["alpha_P3"] = 0.69
+        csv.append(row)
+    return csv.path
+
+
+def test_plot_results(tmp_path):
+    from mga_yolo_tpu.utils.plotting import plot_results
+
+    csv_path = _synthetic_results(tmp_path)
+    out = plot_results(csv_path)
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_model_comparison(tmp_path):
+    from mga_yolo_tpu.utils.plotting import model_comparison
+
+    a = _synthetic_results(tmp_path / "a", seed=1)
+    b = _synthetic_results(tmp_path / "b", seed=2)
+    outs = model_comparison({"cbam": a, "eca": b}, tmp_path / "cmp")
+    assert len(outs) == 3 and all(o.exists() for o in outs)
+
+
+def test_pareto(tmp_path):
+    from mga_yolo_tpu.utils.plotting import pareto_performance
+
+    runs = []
+    for i, name in enumerate(["n", "s"]):
+        csvp = _synthetic_results(tmp_path / name, seed=i)
+        prof = tmp_path / name / "profiling.yaml"
+        prof.write_text(yaml.safe_dump({"parameters": (i + 1) * 3_000_000}))
+        runs.append({"name": name, "results_csv": csvp, "profiling_yaml": prof})
+    out = pareto_performance(runs, tmp_path / "pareto.png")
+    assert out.exists()
+
+
+def test_mask_showcase(tmp_path):
+    from mga_yolo_tpu.utils.plotting import mask_showcase
+
+    m = np.zeros((128, 128), np.uint8)
+    m[30:90, 60:64] = 1  # thin vertical vessel
+    out = mask_showcase(m, tmp_path / "showcase.png")
+    assert out.exists()
