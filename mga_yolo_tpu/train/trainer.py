@@ -33,6 +33,7 @@ from mga_yolo_tpu.train import optim
 from mga_yolo_tpu.train import state as S
 from mga_yolo_tpu.train.validator import Validator, ValResult
 from mga_yolo_tpu.utils import checkpoint as ckpt_util
+from mga_yolo_tpu.utils.callbacks import CallbackBus, TensorBoardLogger
 from mga_yolo_tpu.utils.csvlog import ResultsCSV, loss_items_to_row
 
 
@@ -135,6 +136,10 @@ class MGATrainer:
         )
         self.validator = Validator(self._eval_step, self.val_loader, cfg)
         self.csv = ResultsCSV(self.save_dir)
+        # callback/event bus (reference utils/callbacks/) with TensorBoard adapter
+        self.callbacks = CallbackBus()
+        if t.plots and self.host_id == 0:
+            TensorBoardLogger(self.save_dir / "tb").register(self.callbacks)
         self.stopper = EarlyStopping(t.patience)
         self.best_fitness = 0.0
         self.start_epoch = 0
@@ -251,7 +256,10 @@ class MGATrainer:
             f"{len(self.mesh.devices)} device(s), {self.n_params() / 1e6:.2f}M params"
         )
         last_result: Optional[ValResult] = None
+        self.callbacks.fire("on_train_start", trainer=self)
+        profile_dir = self.save_dir / "profile"
         for epoch in range(self.start_epoch, t.epochs):
+            self.callbacks.fire("on_train_epoch_start", trainer=self, epoch=epoch)
             self.train_loader.set_epoch(epoch)
             close_mosaic = (t.epochs - epoch) <= self.cfg.augment.close_mosaic
             self.train_loader.use_mosaic = not close_mosaic
@@ -259,6 +267,9 @@ class MGATrainer:
             tloss = np.zeros(10, np.float64)
             n_it = 0
             t0 = time.time()
+            profiling = bool(self.cfg.extra.get("profile")) and epoch == self.start_epoch
+            if profiling:
+                jax.profiler.start_trace(str(profile_dir))
             for batch in self.train_loader:
                 batch.pop("index", None)
                 step = int(self.state.step)
@@ -267,8 +278,21 @@ class MGATrainer:
                 self.state, metrics = self._train_step(self.state, batch, lr, lr_bias, mom, sub)
                 tloss += np.asarray(metrics["items"], np.float64)
                 n_it += 1
+                if profiling and n_it >= 8:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                self.callbacks.fire("on_train_batch_end", trainer=self, step=step)
+            if profiling:
+                jax.profiler.stop_trace()
             tloss /= max(n_it, 1)
             epoch_time = time.time() - t0
+            # non-finite guard (reference SegmentationLoss raises FloatingPointError,
+            # nn/losses/segmentation.py:142-144; here the check is per-epoch to
+            # avoid a device sync every step on the async TPU tunnel)
+            if not np.isfinite(tloss).all():
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch + 1}: {tloss}"
+                )
 
             row = {"epoch": float(epoch + 1)}
             row.update(loss_items_to_row("train", tloss))
@@ -296,6 +320,7 @@ class MGATrainer:
             row["time"] = epoch_time
             if self.host_id == 0:
                 self.csv.append(row)
+            self.callbacks.fire("on_fit_epoch_end", trainer=self, epoch=epoch, row=row)
 
             if fitness >= self.best_fitness:
                 self.best_fitness = fitness
@@ -303,6 +328,7 @@ class MGATrainer:
                     self.save_checkpoint("best", epoch, fitness)
             if self.host_id == 0:
                 self.save_checkpoint("last", epoch, fitness)
+                self.callbacks.fire("on_model_save", trainer=self, epoch=epoch)
                 if t.save_period > 0 and (epoch + 1) % t.save_period == 0:
                     self.save_checkpoint(f"epoch{epoch + 1}", epoch, fitness)
 
@@ -317,6 +343,8 @@ class MGATrainer:
             if self.stopper(epoch, fitness):
                 print(f"[MGA] early stopping at epoch {epoch + 1} (patience {t.patience})")
                 break
+
+        self.callbacks.fire("on_train_end", trainer=self)
 
         # final eval on the in-memory EMA (reference trainer.py:417-433)
         if t.val:

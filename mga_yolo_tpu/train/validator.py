@@ -27,6 +27,8 @@ class ValResult:
     metrics: DetMetrics
     loss_items: np.ndarray  # (10,) mean val loss items
     n_images: int = 0
+    # ms per image per phase (reference engine/validator.py speed dict)
+    speed: dict = dataclasses.field(default_factory=dict)
 
     def results_dict(self):
         return self.metrics.results_dict()
@@ -57,17 +59,23 @@ class Validator:
         save_artifacts_dir: Optional[Path] = None,
         max_artifacts: int = 4,
     ) -> ValResult:
+        import time
+
         acc = MetricAccumulator()
         items_sum = np.zeros(10, np.float64)
         n_batches = 0
         n_images = 0
         saved = 0
+        t_inf = t_post = 0.0
 
         for batch in self.loader:
             batch = dict(batch)
             batch.pop("index", None)
+            t0 = time.perf_counter()
             out = self.eval_fn(state, batch)
             decoded = np.asarray(out["decoded"])  # (B, A, 4+nc) xywh px
+            t_inf += time.perf_counter() - t0
+            t0 = time.perf_counter()
             items_sum += np.asarray(out["items"], np.float64)
             n_batches += 1
 
@@ -91,12 +99,23 @@ class Validator:
                 )
                 n_images += 1
 
+            t_post += time.perf_counter() - t0
             if save_artifacts_dir is not None and saved < max_artifacts:
                 self._save_batch_artifacts(batch, out, save_artifacts_dir, saved)
                 saved += 1
 
         items = items_sum / max(n_batches, 1)
-        return ValResult(metrics=acc.compute(), loss_items=items.astype(np.float32), n_images=n_images)
+        n = max(n_images, 1)
+        speed = {
+            "inference": 1000.0 * t_inf / n,
+            "postprocess": 1000.0 * t_post / n,
+        }
+        return ValResult(
+            metrics=acc.compute(),
+            loss_items=items.astype(np.float32),
+            n_images=n_images,
+            speed=speed,
+        )
 
     def _save_batch_artifacts(self, batch, out, root: Path, batch_idx: int) -> None:
         """Sigmoid-mask PNGs + raw seg tensors (reference validator.py:342-394)."""
@@ -113,5 +132,11 @@ class Validator:
                 cv2.imwrite(str(root / "preds" / f"batch{batch_idx}_img{i}_{sk}.png"), img)
         if "taps" in out:
             (root / "fm").mkdir(parents=True, exist_ok=True)
+            from mga_yolo_tpu.utils.plotting import feature_visualization
+
             for idx, feat in out["taps"].items():
-                np.save(root / "fm" / f"batch{batch_idx}_layer{idx}.npy", np.asarray(feat))
+                arr = np.asarray(feat)
+                np.save(root / "fm" / f"batch{batch_idx}_layer{idx}.npy", arr)
+                feature_visualization(
+                    arr[0], root / "fm" / f"batch{batch_idx}_layer{idx}.png"
+                )

@@ -15,10 +15,17 @@ All functions consume the same results.csv schema the trainer writes
 """
 
 from mga_yolo_tpu.utils.plotting.results import (
+    feature_visualization,
     mask_showcase,
     model_comparison,
     pareto_performance,
     plot_results,
 )
 
-__all__ = ["plot_results", "model_comparison", "pareto_performance", "mask_showcase"]
+__all__ = [
+    "plot_results",
+    "model_comparison",
+    "pareto_performance",
+    "mask_showcase",
+    "feature_visualization",
+]

@@ -163,6 +163,33 @@ def pareto_performance(
     return save
 
 
+def feature_visualization(
+    feat: np.ndarray, save: str | Path, max_channels: int = 32
+) -> Path:
+    """Per-layer feature-map PNG grid (reference vendored utils/plotting.py:1316).
+
+    ``feat`` is one image's NHWC tap (H, W, C); plots the first
+    ``max_channels`` channels in a square-ish grid.
+    """
+    if feat.ndim == 4:
+        feat = feat[0]
+    c = min(feat.shape[-1], max_channels)
+    ncols = int(np.ceil(np.sqrt(c)))
+    nrows = -(-c // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(1.4 * ncols, 1.4 * nrows), squeeze=False)
+    flat = [a for row in axes for a in row]
+    for i in range(c):
+        flat[i].imshow(feat[..., i], cmap="viridis")
+    for ax in flat:
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.tight_layout()
+    save = Path(save)
+    fig.savefig(save, dpi=120)
+    plt.close(fig)
+    return save
+
+
 def mask_showcase(
     mask: np.ndarray,
     save: str | Path,
