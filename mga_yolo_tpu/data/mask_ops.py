@@ -27,6 +27,7 @@ import cv2
 import numpy as np
 
 from mga_yolo_tpu.config import MaskPipelineConfig
+from mga_yolo_tpu import native
 
 _CLOSE_KERNEL = np.ones((3, 3), np.uint8)
 
@@ -57,6 +58,9 @@ def _coarse_shape(h: int, w: int, stride: int) -> tuple[int, int]:
 
 
 def _block_reduce_max(m: np.ndarray, k: int) -> np.ndarray:
+    out = native.block_reduce_max(m, k)
+    if out is not None:
+        return out
     h, w = m.shape
     ph, pw = (-h) % k, (-w) % k
     if ph or pw:
@@ -66,6 +70,9 @@ def _block_reduce_max(m: np.ndarray, k: int) -> np.ndarray:
 
 
 def _block_reduce_mean(m: np.ndarray, k: int) -> np.ndarray:
+    out = native.block_reduce_mean((m > 0).astype(np.uint8), k)
+    if out is not None:
+        return out
     h, w = m.shape
     ph, pw = (-h) % k, (-w) % k
     if ph or pw:
@@ -109,10 +116,13 @@ def zhang_suen_thin(mask: np.ndarray, max_iters: int = 10000) -> np.ndarray:
 
 
 def skeletonize(mask: np.ndarray) -> np.ndarray:
-    """Best-available thinning backend (cv2.ximgproc > skimage > numpy)."""
+    """Best-available thinning backend (cv2.ximgproc > native C++ > skimage > numpy)."""
     img = (mask > 0).astype(np.uint8)
     if hasattr(cv2, "ximgproc") and hasattr(cv2.ximgproc, "thinning"):
         return cv2.ximgproc.thinning(img, thinningType=cv2.ximgproc.THINNING_ZHANGSUEN).astype(bool)
+    out = native.zhang_suen_thin(img)
+    if out is not None:
+        return out
     try:
         from skimage.morphology import thin
 
@@ -158,10 +168,11 @@ def _skeleton_bresenham_from(
         return out
     out[ys // stride, xs // stride] = 1
     # Rasterize skeleton edges on the coarse grid so connectivity survives.
-    coarse = edges // stride
-    moved = (coarse[:, 0] != coarse[:, 2]) | (coarse[:, 1] != coarse[:, 3])
-    for y0, x0, y1, x1 in coarse[moved]:
-        cv2.line(out, (int(x0), int(y0)), (int(x1), int(y1)), 1, 1)
+    if not native.rasterize_edges(edges, stride, out):
+        coarse = edges // stride
+        moved = (coarse[:, 0] != coarse[:, 2]) | (coarse[:, 1] != coarse[:, 3])
+        for y0, x0, y1, x1 in coarse[moved]:
+            cv2.line(out, (int(x0), int(y0)), (int(x1), int(y1)), 1, 1)
     if bridge:
         out = cv2.morphologyEx(out, cv2.MORPH_CLOSE, _CLOSE_KERNEL)
     return out
