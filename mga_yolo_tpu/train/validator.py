@@ -118,11 +118,23 @@ class Validator:
         )
 
     def _save_batch_artifacts(self, batch, out, root: Path, batch_idx: int) -> None:
-        """Sigmoid-mask PNGs + raw seg tensors (reference validator.py:342-394)."""
+        """Bbox-overlay JPEGs + sigmoid-mask PNGs + raw seg tensors
+        (reference validator.py:317-394 _draw_dets/_save_preds_and_masks)."""
         import cv2
 
         root = Path(root)
         (root / "preds").mkdir(parents=True, exist_ok=True)
+
+        decoded = np.asarray(out["decoded"])
+        images = batch["image"]
+        for i in range(min(images.shape[0], 4)):
+            dets = nms_numpy(decoded[i], conf_thres=0.25, iou_thres=self.iou_thres, max_det=50)
+            im = np.ascontiguousarray(images[i])
+            for x1, y1, x2, y2, conf, c in dets:
+                cv2.rectangle(im, (int(x1), int(y1)), (int(x2), int(y2)), (0, 255, 0), 1)
+                cv2.putText(im, f"{conf:.2f}", (int(x1), max(8, int(y1) - 2)),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.35, (0, 255, 0), 1)
+            cv2.imwrite(str(root / "preds" / f"batch{batch_idx}_img{i}_dets.jpg"), im)
         for sk, logits in out["seg"].items():
             arr = np.asarray(logits)
             prob = 1.0 / (1.0 + np.exp(-arr))

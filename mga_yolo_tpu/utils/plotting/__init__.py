@@ -16,6 +16,7 @@ All functions consume the same results.csv schema the trainer writes
 
 from mga_yolo_tpu.utils.plotting.results import (
     feature_visualization,
+    gumbel_tau_sweep,
     mask_showcase,
     model_comparison,
     pareto_performance,
@@ -28,4 +29,5 @@ __all__ = [
     "pareto_performance",
     "mask_showcase",
     "feature_visualization",
+    "gumbel_tau_sweep",
 ]

@@ -163,6 +163,40 @@ def pareto_performance(
     return save
 
 
+def gumbel_tau_sweep(
+    mask_probs: np.ndarray,
+    save: str | Path,
+    taus: Sequence[float] = (0.1, 0.5, 1.0, 2.0, 5.0),
+    seed: int = 0,
+) -> Path:
+    """Gumbel-sigmoid gate visualization across temperatures
+    (reference mask_process_visualized.py): shows how tau sharpens/softens
+    the stochastic gate over a probability mask."""
+    rng = np.random.default_rng(seed)
+    eps = 1e-6
+    p = np.clip(mask_probs.astype(np.float64), eps, 1 - eps)
+    u1 = np.clip(rng.uniform(size=p.shape), eps, 1 - eps)
+    u2 = np.clip(rng.uniform(size=p.shape), eps, 1 - eps)
+    g = -np.log(-np.log(u1)) + np.log(-np.log(u2))
+    logits = np.log(p) - np.log1p(-p)
+
+    fig, axes = plt.subplots(1, len(taus) + 1, figsize=(2.0 * (len(taus) + 1), 2.2), squeeze=False)
+    axes[0][0].imshow(mask_probs, cmap="gray", vmin=0, vmax=1)
+    axes[0][0].set_title("p", fontsize=8)
+    for j, tau in enumerate(taus):
+        m = 1.0 / (1.0 + np.exp(-(logits + g) / tau))
+        axes[0][j + 1].imshow(m, cmap="gray", vmin=0, vmax=1)
+        axes[0][j + 1].set_title(f"tau={tau}", fontsize=8)
+    for ax in axes[0]:
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.tight_layout()
+    save = Path(save)
+    fig.savefig(save, dpi=160)
+    plt.close(fig)
+    return save
+
+
 def feature_visualization(
     feat: np.ndarray, save: str | Path, max_channels: int = 32
 ) -> Path:
