@@ -33,6 +33,7 @@ class TrainState(struct.PyTreeNode):
     ema_params: Any
     ema_batch_stats: Any
     groups: Any = struct.field(pytree_node=True)
+    accum_grads: Any = None  # gradient accumulation buffer (None when accumulate == 1)
 
 
 def create_train_state(model, rng, imgsz: int, batch: int = 1) -> TrainState:
@@ -50,6 +51,7 @@ def create_train_state(model, rng, imgsz: int, batch: int = 1) -> TrainState:
         ema_params=jax.tree_util.tree_map(jnp.copy, params),
         ema_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
         groups=optim.param_groups(params),
+        accum_grads=None,
     )
 
 
@@ -114,35 +116,71 @@ def make_train_step(
         new_bs = _cast_floating(mutated.get("batch_stats", {}), jnp.float32)
         return total, (new_bs, items, logs)
 
-    def train_step(state: TrainState, batch, lr, lr_bias, momentum, rng):
-        (total, (new_bs, items, logs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, rng
-        )
+    def apply_update(state, grads, new_bs, lr, lr_bias, momentum, step):
         new_params, new_buf = optim.sgd_update(
-            state.params,
-            grads,
-            state.momentum_buf,
-            state.groups,
-            lr,
-            lr_bias,
-            momentum,
-            weight_decay,
+            state.params, grads, state.momentum_buf, state.groups,
+            lr, lr_bias, momentum, weight_decay,
         )
-        step = state.step + 1
         ema_params = optim.ema_update(state.ema_params, new_params, step, ema_decay, ema_tau)
         ema_bs = (
             optim.ema_update(state.ema_batch_stats, new_bs, step, ema_decay, ema_tau)
             if new_bs
             else state.ema_batch_stats
         )
-        new_state = state.replace(
-            step=step,
-            params=new_params,
-            batch_stats=new_bs if new_bs else state.batch_stats,
-            momentum_buf=new_buf,
-            ema_params=ema_params,
-            ema_batch_stats=ema_bs,
+        return new_params, new_buf, ema_params, ema_bs
+
+    def train_step(state: TrainState, batch, lr, lr_bias, momentum, rng):
+        (total, (new_bs, items, logs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng
         )
+        step = state.step + 1
+
+        if accumulate <= 1:
+            new_params, new_buf, ema_params, ema_bs = apply_update(
+                state, grads, new_bs, lr, lr_bias, momentum, step
+            )
+            new_state = state.replace(
+                step=step,
+                params=new_params,
+                batch_stats=new_bs if new_bs else state.batch_stats,
+                momentum_buf=new_buf,
+                ema_params=ema_params,
+                ema_batch_stats=ema_bs,
+            )
+        else:
+            # gradient accumulation to the nominal batch size (reference
+            # trainer accumulate = nbs/batch, engine/trainer.py:312+);
+            # BN stats still update every micro-step like torch
+            acc0 = state.accum_grads
+            if acc0 is None:
+                acc0 = jax.tree_util.tree_map(jnp.zeros_like, grads)
+            acc = jax.tree_util.tree_map(jnp.add, acc0, grads)
+            do_apply = (step % accumulate) == 0
+
+            def yes(_):
+                eff = jax.tree_util.tree_map(lambda a: a / accumulate, acc)
+                new_params, new_buf, ema_params, ema_bs = apply_update(
+                    state, eff, new_bs, lr, lr_bias, momentum, step
+                )
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, acc)
+                return new_params, new_buf, ema_params, ema_bs, zeros
+
+            def no(_):
+                ema_bs = state.ema_batch_stats
+                return state.params, state.momentum_buf, state.ema_params, ema_bs, acc
+
+            new_params, new_buf, ema_params, ema_bs, new_acc = jax.lax.cond(
+                do_apply, yes, no, None
+            )
+            new_state = state.replace(
+                step=step,
+                params=new_params,
+                batch_stats=new_bs if new_bs else state.batch_stats,
+                momentum_buf=new_buf,
+                ema_params=ema_params,
+                ema_batch_stats=ema_bs,
+                accum_grads=new_acc,
+            )
         metrics = {"loss": total, "items": items, **logs}
         return new_state, metrics
 

@@ -105,14 +105,19 @@ class MGATrainer:
             cos_lr=t.cos_lr,
         )
         # scale weight decay like the reference (trainer.py:312+): wd * batch * accumulate / nbs
-        accumulate = max(round(t.nbs / t.batch), 1)
-        self.weight_decay = t.weight_decay * t.batch * accumulate / t.nbs
+        self.accumulate = max(round(t.nbs / t.batch), 1)
+        self.weight_decay = t.weight_decay * t.batch * self.accumulate / t.nbs
 
         det_cfg, seg_cfg = det_loss_config(cfg), seg_loss_config(cfg)
         # AMP = bf16 compute on TPU; float32 on CPU (where bf16 is emulated)
         on_tpu = jax.devices()[0].platform not in ("cpu",)
         self.compute_dtype = jnp.bfloat16 if (t.amp and on_tpu) else jnp.float32
         self.state = S.create_train_state(self.model, jax.random.PRNGKey(t.seed), cfg.data.imgsz)
+        if self.accumulate > 1:
+            # pre-allocate the accumulation buffer so the jit signature is stable
+            self.state = self.state.replace(
+                accum_grads=jax.tree_util.tree_map(jnp.zeros_like, self.state.params)
+            )
         self._train_step = S.jit_train_step(
             S.make_train_step(
                 self.model,
@@ -123,6 +128,7 @@ class MGATrainer:
                 weight_decay=self.weight_decay,
                 ema_decay=t.ema_decay,
                 ema_tau=t.ema_tau,
+                accumulate=self.accumulate,
                 compute_dtype=self.compute_dtype,
             ),
             self.mesh,

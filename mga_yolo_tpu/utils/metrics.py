@@ -144,6 +144,58 @@ def ap_per_class(
     )
 
 
+class ConfusionMatrix:
+    """Detection confusion matrix (reference metrics.py:313).
+
+    (nc+1) x (nc+1): rows = predicted class (last = background/FN column
+    source), cols = true class (last = background -> FP).
+    """
+
+    def __init__(self, nc: int, conf: float = 0.25, iou_thres: float = 0.45):
+        self.nc = nc
+        self.conf = conf
+        self.iou_thres = iou_thres
+        self.matrix = np.zeros((nc + 1, nc + 1), np.int64)
+
+    def process_batch(
+        self,
+        pred_boxes: np.ndarray,   # (N,4) xyxy
+        pred_conf: np.ndarray,
+        pred_cls: np.ndarray,
+        true_boxes: np.ndarray,   # (M,4)
+        true_cls: np.ndarray,
+    ) -> None:
+        keep = pred_conf > self.conf
+        pred_boxes, pred_cls = pred_boxes[keep], pred_cls[keep].astype(int)
+        true_cls = true_cls.astype(int)
+        if len(true_cls) == 0:
+            for pc in pred_cls:
+                self.matrix[pc, self.nc] += 1  # FP
+            return
+        if len(pred_cls) == 0:
+            for tc in true_cls:
+                self.matrix[self.nc, tc] += 1  # FN
+            return
+        iou = box_iou(true_boxes, pred_boxes)
+        matches = np.array(np.nonzero(iou >= self.iou_thres)).T
+        if matches.shape[0] > 1:
+            matches = matches[iou[matches[:, 0], matches[:, 1]].argsort()[::-1]]
+            matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
+            matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
+        matched_t = set()
+        matched_p = set()
+        for ti, pi in matches:
+            self.matrix[pred_cls[pi], true_cls[ti]] += 1
+            matched_t.add(int(ti))
+            matched_p.add(int(pi))
+        for ti, tc in enumerate(true_cls):
+            if ti not in matched_t:
+                self.matrix[self.nc, tc] += 1  # FN
+        for pi, pc in enumerate(pred_cls):
+            if pi not in matched_p:
+                self.matrix[pc, self.nc] += 1  # FP
+
+
 class MetricAccumulator:
     """Collects per-image stats during validation, then computes DetMetrics."""
 
