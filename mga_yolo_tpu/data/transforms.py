@@ -290,6 +290,52 @@ def mosaic4(
     }
 
 
+def mosaic9(samples: Sequence[Sample], rng: np.random.Generator, imgsz: int) -> Sample:
+    """9-image mosaic on a 3x canvas (reference Mosaic._mosaic9, augment.py:767-810),
+    masks placed with the same offsets."""
+    s = imgsz
+    canvas = np.full((3 * s, 3 * s, 3), 114, np.uint8)
+    mask_canvas = np.zeros((3 * s, 3 * s), np.uint8)
+    has_mask = any(sm.get("mask") is not None for sm in samples)
+    all_boxes, all_cls = [], []
+    # 3x3 grid anchored at top-left of each cell
+    for idx, sm in enumerate(samples[:9]):
+        gy, gx = divmod(idx, 3)
+        img = sm["img"]
+        h, w = img.shape[:2]
+        y0, x0 = gy * s, gx * s
+        y1, x1 = min(y0 + h, 3 * s), min(x0 + w, 3 * s)
+        canvas[y0:y1, x0:x1] = img[: y1 - y0, : x1 - x0]
+        if sm.get("mask") is not None:
+            mask_canvas[y0:y1, x0:x1] = sm["mask"][: y1 - y0, : x1 - x0]
+        if len(sm.get("boxes", ())):
+            b = sm["boxes"].copy()
+            b[:, [0, 2]] += x0
+            b[:, [1, 3]] += y0
+            all_boxes.append(b)
+            all_cls.append(sm["cls"])
+    boxes = (
+        np.concatenate(all_boxes).astype(np.float32) if all_boxes else np.zeros((0, 4), np.float32)
+    )
+    cls = np.concatenate(all_cls) if all_cls else np.zeros((0,), np.float32)
+    # crop a random 2s x 2s window (center jitter), like the reference border crop
+    oy = int(rng.integers(0, s))
+    ox = int(rng.integers(0, s))
+    crop = canvas[oy : oy + 2 * s, ox : ox + 2 * s]
+    mask_crop = mask_canvas[oy : oy + 2 * s, ox : ox + 2 * s]
+    if len(boxes):
+        boxes[:, [0, 2]] = (boxes[:, [0, 2]] - ox).clip(0, 2 * s)
+        boxes[:, [1, 3]] = (boxes[:, [1, 3]] - oy).clip(0, 2 * s)
+        keep = ((boxes[:, 2] - boxes[:, 0]) > 2) & ((boxes[:, 3] - boxes[:, 1]) > 2)
+        boxes, cls = boxes[keep], cls[keep]
+    return {
+        "img": np.ascontiguousarray(crop),
+        "boxes": boxes,
+        "cls": cls,
+        "mask": np.ascontiguousarray(mask_crop) if has_mask else None,
+    }
+
+
 def mixup(a: Sample, b: Sample, rng: np.random.Generator) -> Sample:
     """Beta(32,32) image blend; masks max-combined (reference :954-960)."""
     lam = rng.beta(32.0, 32.0)

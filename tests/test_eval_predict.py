@@ -115,3 +115,51 @@ def test_cli_override_parsing():
                            "--name=exp1", "--deterministic", "true"])
     assert out == {"epochs": 5, "lr0": 0.02, "mosaic": 0.0, "name": "exp1",
                    "deterministic": True}
+
+
+def test_mosaic9():
+    from mga_yolo_tpu.data import transforms as T
+
+    rng = np.random.default_rng(0)
+    parts = []
+    for _ in range(9):
+        img = np.zeros((32, 32, 3), np.uint8)
+        img[8:24, 8:24] = 255
+        mask = np.zeros((32, 32), np.uint8)
+        mask[8:24, 8:24] = 1
+        parts.append({
+            "img": img,
+            "boxes": np.array([[8, 8, 24, 24]], np.float32),
+            "cls": np.array([0.0], np.float32),
+            "mask": mask,
+        })
+    out = T.mosaic9(parts, rng, 32)
+    assert out["img"].shape == (64, 64, 3)
+    assert out["mask"].shape == (64, 64)
+    # mask still aligned with bright pixels
+    bright = (out["img"][..., 0] > 100).astype(np.uint8)
+    if out["mask"].sum():
+        assert (bright & out["mask"]).sum() / out["mask"].sum() > 0.99
+
+
+def test_coco_writer(tmp_path):
+    import json
+
+    from mga_yolo_tpu.utils.coco import CocoWriter
+
+    w = CocoWriter(tmp_path / "preds.json")
+    dets = np.array([[10, 20, 50, 80, 0.9, 0]], np.float32)
+    w.add(dets, image_id=7)
+    p = w.save()
+    rec = json.loads(p.read_text())
+    assert rec[0]["image_id"] == 7
+    assert rec[0]["bbox"] == [10.0, 20.0, 40.0, 60.0]
+    assert abs(rec[0]["score"] - 0.9) < 1e-6
+
+
+def test_public_api():
+    import mga_yolo_tpu
+
+    assert callable(mga_yolo_tpu.load_config)
+    assert callable(mga_yolo_tpu.create_model)
+    assert callable(mga_yolo_tpu.train)
