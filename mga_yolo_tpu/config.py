@@ -97,6 +97,7 @@ class TrainConfig:
     warmup_momentum: float = 0.8
     warmup_bias_lr: float = 0.1
     cos_lr: bool = False
+    multi_scale: bool = False  # bucketed multi-scale (0.75/1.0/1.25 x imgsz)
     box: float = 7.5
     cls: float = 0.5
     dfl: float = 1.5

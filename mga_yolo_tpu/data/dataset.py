@@ -143,9 +143,11 @@ class MGADataset:
 
     # ---- augmentation pipeline ----
 
-    def _train_sample(self, i: int, rng: np.random.Generator, use_mosaic: bool) -> T.Sample:
+    def _train_sample(
+        self, i: int, rng: np.random.Generator, use_mosaic: bool, size: Optional[int] = None
+    ) -> T.Sample:
         aug = self.cfg.augment
-        s = self.imgsz
+        s = size or self.imgsz
         if use_mosaic and rng.random() < aug.mosaic:
             idxs = [i] + list(rng.integers(0, len(self), 3))
             parts = [
@@ -155,10 +157,10 @@ class MGADataset:
             border = (-s // 2, -s // 2)
             sample = T.random_affine(sample, rng, aug, border=border)
             if aug.mixup and rng.random() < aug.mixup:
-                other = self._train_sample(int(rng.integers(0, len(self))), rng, use_mosaic)
+                other = self._train_sample(int(rng.integers(0, len(self))), rng, use_mosaic, s)
                 sample = T.mixup(sample, other, rng)
             elif aug.cutmix and rng.random() < aug.cutmix:
-                other = self._train_sample(int(rng.integers(0, len(self))), rng, use_mosaic)
+                other = self._train_sample(int(rng.integers(0, len(self))), rng, use_mosaic, s)
                 sample = T.cutmix(sample, other, rng)
         else:
             sample = T.letterbox(self.load_raw(i), s, scaleup=True)
@@ -167,18 +169,31 @@ class MGADataset:
         sample = T.random_flip(sample, rng, aug.fliplr, aug.flipud)
         return sample
 
-    def get(self, i: int, rng: Optional[np.random.Generator] = None, use_mosaic: bool = True) -> dict:
-        """One fixed-shape training/val sample (numpy)."""
+    def get(
+        self,
+        i: int,
+        rng: Optional[np.random.Generator] = None,
+        use_mosaic: bool = True,
+        imgsz: Optional[int] = None,
+    ) -> dict:
+        """One fixed-shape training/val sample (numpy).
+
+        ``imgsz`` overrides the configured size for bucketed multi-scale
+        training (reference `multi_scale`, models/yolo/detect/train.py:92-118 —
+        on TPU the sizes come from a small static bucket set so each bucket
+        compiles once).
+        """
+        size = imgsz or self.imgsz
         if self.augment:
             rng = rng or np.random.default_rng()
-            sample = self._train_sample(i, rng, use_mosaic)
+            sample = self._train_sample(i, rng, use_mosaic, size)
         else:
-            sample = T.letterbox(self.load_raw(i), self.imgsz, scaleup=False)
-        return self.finalize(sample, i)
+            sample = T.letterbox(self.load_raw(i), size, scaleup=False)
+        return self.finalize(sample, i, imgsz=size)
 
-    def finalize(self, sample: T.Sample, index: int = -1) -> dict:
+    def finalize(self, sample: T.Sample, index: int = -1, imgsz: Optional[int] = None) -> dict:
         """Pad GT, build the mask pyramid, emit static-shape arrays."""
-        s = self.imgsz
+        s = imgsz or self.imgsz
         img = sample["img"]
         assert img.shape[:2] == (s, s), f"pipeline produced {img.shape}, expected {(s, s)}"
 

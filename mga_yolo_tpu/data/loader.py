@@ -47,6 +47,7 @@ class DataLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.epoch = 0
+        self.size_buckets: list[int] | None = None  # bucketed multi-scale sizes
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -74,12 +75,19 @@ class DataLoader:
             global_idx = order[start : start + self.global_batch]
             # per-host shard of the global batch
             local_idx = global_idx[self.shard_index :: self.num_shards]
+            imgsz = None
+            if self.size_buckets:
+                # deterministic per-batch bucket, identical across hosts
+                brng = np.random.default_rng(self.seed * 7919 + self.epoch * 104_729 + bi)
+                imgsz = int(brng.choice(self.size_buckets))
             samples = []
             for j, di in enumerate(local_idx):
                 rng = np.random.default_rng(
                     (self.seed * 1_000_003 + self.epoch * 10_007 + int(di)) % (2**63)
                 )
-                samples.append(self.dataset.get(int(di), rng, use_mosaic=use_mosaic))
+                samples.append(
+                    self.dataset.get(int(di), rng, use_mosaic=use_mosaic, imgsz=imgsz)
+                )
             return collate(samples)
 
         with ThreadPoolExecutor(max_workers=self.workers) as pool:

@@ -84,6 +84,13 @@ class MGATrainer:
             num_shards=self.n_hosts,
             shard_index=self.host_id,
         )
+        if t.multi_scale:
+            # bucketed multi-scale: small static size set, one compile each
+            # (reference multi_scale resizes continuously, detect/train.py:92-118)
+            s = cfg.data.imgsz
+            self.train_loader.size_buckets = sorted(
+                {max(64, round(s * f / 64) * 64) for f in (0.75, 1.0, 1.25)}
+            )
         self.val_loader = DataLoader(
             self.val_ds,
             batch_size=min(t.batch, len(self.val_ds)) or 1,

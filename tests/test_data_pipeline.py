@@ -182,3 +182,19 @@ def test_loader_deterministic(synth_cfg):
     b = next(iter(DataLoader(ds, batch_size=4, seed=7, workers=2)))
     np.testing.assert_array_equal(a["image"], b["image"])
     np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
+
+
+def test_multiscale_buckets(synth_cfg):
+    ds = MGADataset(synth_cfg, "train", augment=True)
+    dl = DataLoader(ds, batch_size=2, seed=0, workers=1, drop_last=False)
+    dl.size_buckets = [64, 128]
+    sizes = set()
+    for epoch in range(4):
+        dl.set_epoch(epoch)
+        for b in dl:
+            s = b["image"].shape[1]
+            sizes.add(s)
+            assert b["image"].shape[1] == b["image"].shape[2]
+            assert b["masks"][0].shape[1] == s // 8
+            assert b["masks"][2].shape[1] == s // 32
+    assert sizes == {64, 128}
