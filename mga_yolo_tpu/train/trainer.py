@@ -52,10 +52,24 @@ class EarlyStopping:
         return (epoch - self.best_epoch) >= self.patience
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache (big graphs are slow to compile on the
+    remote-compile TPU tunnel; cached compiles load in seconds)."""
+    import os
+
+    cache_dir = os.environ.get("MGA_JAX_CACHE", str(Path.home() / ".cache" / "mga_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 class MGATrainer:
     def __init__(self, cfg: MGAConfig, devices=None):
         self.cfg = cfg
         t = cfg.train
+        _enable_compile_cache()
         self.save_dir = cfg.save_dir
         self.save_dir.mkdir(parents=True, exist_ok=True)
         (self.save_dir / "weights").mkdir(exist_ok=True)

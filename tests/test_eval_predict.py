@@ -163,3 +163,35 @@ def test_public_api():
     assert callable(mga_yolo_tpu.load_config)
     assert callable(mga_yolo_tpu.create_model)
     assert callable(mga_yolo_tpu.train)
+
+
+def test_grid_prepare_config(tmp_path):
+    import yaml
+
+    from mga_yolo_tpu.scripts.performance_comparison import prepare_config
+
+    hyp = {"epochs": 5, "lr0": 0.01}
+    p = prepare_config(hyp, "eca", "s", "data.yaml", "runs/grid", "eca_s_fold0", tmp_path)
+    cfg = yaml.safe_load(p.read_text())
+    assert cfg["model"] == "configs/models/yolov8_eca.yaml"
+    assert cfg["model_scale"] == "s"
+    assert cfg["epochs"] == 5
+    assert cfg["name"] == "eca_s_fold0"
+
+
+def test_kfold_writes_tree(tmp_path):
+    import yaml
+
+    from mga_yolo_tpu.data.kfold import kfold_indices, write_fold
+    from tests.synth import create_synthetic_dataset
+
+    create_synthetic_dataset(tmp_path / "src", n=6, size=32)
+    images = sorted((tmp_path / "src" / "images" / "train").glob("*.png"))
+    (tr, va), = kfold_indices(len(images), 1, seed=0)[:1]
+    dy = write_fold(images, tmp_path / "folds", 0, tr, va, "masks", str(tmp_path / "src"), {0: "stenosis"})
+    cfg = yaml.safe_load(dy.read_text())
+    assert cfg["masks_dir"] == "masks"
+    assert (tmp_path / "folds" / "fold_0" / "images" / "val").exists()
+    # symlinked labels resolve
+    lbls = list((tmp_path / "folds" / "fold_0" / "labels" / "val").glob("*.txt"))
+    assert lbls and lbls[0].resolve().exists()
