@@ -112,6 +112,7 @@ class MGADataset:
             mask_ops.infer_mask_path(p, self.dataset_root, self.masks_dir) for p in self.img_files
         ]
         self._cache: dict[int, tuple] = {}
+        self._aug_dumped = 0
 
     def __len__(self) -> int:
         return len(self.img_files)
@@ -209,6 +210,15 @@ class MGADataset:
 
         mask = sample.get("mask")
         mcfg = self.cfg.mask
+        if mcfg.save_aug_masks and self._aug_dumped < mcfg.save_max and mask is not None:
+            # debug dump of augmented image/mask pairs
+            # (reference MGA_SAVE_AUG_MASKS, dataset.py:106-131)
+            dump = Path(self.cfg.train.project) / self.cfg.train.name / "aug_debug"
+            dump.mkdir(parents=True, exist_ok=True)
+            n = self._aug_dumped
+            cv2.imwrite(str(dump / f"aug_{n}_img.png"), img)
+            cv2.imwrite(str(dump / f"aug_{n}_mask.png"), (mask * 255).astype(np.uint8))
+            self._aug_dumped += 1
         masks = []
         if mask is None:
             mask = np.zeros((s, s), np.uint8)

@@ -14,6 +14,7 @@ Functional re-implementations of the reference blocks
 
 from __future__ import annotations
 
+import math
 from typing import Any, Sequence
 
 import jax
@@ -81,8 +82,6 @@ class DWConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        import math
-
         g = math.gcd(x.shape[-1], self.c2)
         return ConvBN(self.c2, self.k, self.s, g=g, act=self.act, name="dw")(x, train)
 
