@@ -11,6 +11,7 @@ from __future__ import annotations
 __version__ = "0.1.0"
 
 __all__ = [
+    "MGA",
     "load_config",
     "MGAConfig",
     "create_model",
@@ -25,6 +26,10 @@ __all__ = [
 
 
 def __getattr__(name):
+    if name == "MGA":
+        from mga_yolo_tpu.api import MGA
+
+        return MGA
     if name in ("load_config", "MGAConfig"):
         from mga_yolo_tpu import config as _m
 

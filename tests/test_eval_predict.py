@@ -195,3 +195,13 @@ def test_kfold_writes_tree(tmp_path):
     # symlinked labels resolve
     lbls = list((tmp_path / "folds" / "fold_0" / "labels" / "val").glob("*.txt"))
     assert lbls and lbls[0].resolve().exists()
+
+
+def test_facade_task_detection():
+    from mga_yolo_tpu.api import MGA
+
+    m = MGA("configs/models/yolov8_cbam.yaml", scale="n")
+    assert m.task == "mga"
+    assert m.info()["n_layers"] == 29
+    base = MGA("configs/models/yolov8.yaml", scale="n")
+    assert base.task == "detect"
