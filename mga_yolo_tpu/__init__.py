@@ -2,7 +2,7 @@
 
 Public API (lazy imports keep `import mga_yolo_tpu` light):
 
-    from mga_yolo_tpu import load_config, create_model, train, MGATrainer
+    from mga_yolo_tpu import MGA, load_config, create_model, MGATrainer
     from mga_yolo_tpu import MGAPredictor, load_predictor
 """
 
@@ -17,7 +17,6 @@ __all__ = [
     "create_model",
     "MGAModel",
     "parse_graph",
-    "train",
     "MGATrainer",
     "MGAPredictor",
     "load_predictor",
@@ -42,10 +41,10 @@ def __getattr__(name):
         from mga_yolo_tpu.graph import parse_graph
 
         return parse_graph
-    if name in ("train", "MGATrainer"):
-        from mga_yolo_tpu.train import trainer as _m
+    if name == "MGATrainer":
+        from mga_yolo_tpu.train.trainer import MGATrainer
 
-        return getattr(_m, name)
+        return MGATrainer
     if name in ("MGAPredictor", "load_predictor"):
         from mga_yolo_tpu.train import predictor as _m
 

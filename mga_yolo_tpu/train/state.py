@@ -194,8 +194,18 @@ def make_eval_step(
     det_cfg: DetLossConfig,
     seg_cfg: SegLossConfig,
     compute_dtype=jnp.float32,
+    nms_on_device: bool = True,
+    nms_conf: float = 0.001,
+    nms_iou: float = 0.7,
+    max_det: int = 300,
 ) -> Callable:
-    """Eval step on EMA weights: decoded predictions + val loss items."""
+    """Eval step on EMA weights: decoded predictions + val loss items.
+
+    With ``nms_on_device`` the fixed-shape NMS (`ops/nms.py nms_jax`) runs in
+    the same jitted program — the O(k^2) suppression is VPU work instead of a
+    host python loop (the reference offloads to torchvision's C++ NMS;
+    measured host NMS here was ~170 ms/img at conf 0.001 on the 1-core host).
+    """
 
     def eval_step(state: TrainState, batch):
         images = normalize_images(batch["image"]).astype(compute_dtype)
@@ -223,7 +233,19 @@ def make_eval_step(
             det_cfg,
             seg_cfg,
         )
-        return {"decoded": decoded, "seg": out["seg"], "items": items}
+        result = {"decoded": decoded, "seg": out["seg"], "items": items}
+        if "taps" in out:
+            result["taps"] = out["taps"]
+        if nms_on_device:
+            from mga_yolo_tpu.ops.nms import nms_jax
+
+            boxes, scores, cls = nms_jax(
+                decoded, conf_thres=nms_conf, iou_thres=nms_iou, max_det=max_det
+            )
+            result["dets"] = jnp.concatenate(
+                [boxes, scores[..., None], cls[..., None]], axis=-1
+            )  # (B, max_det, 6)
+        return result
 
     return eval_step
 

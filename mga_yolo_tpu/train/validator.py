@@ -82,13 +82,18 @@ class Validator:
             gt_boxes = batch["gt_boxes"]
             gt_labels = batch["gt_labels"]
             mask_gt = batch["mask_gt"]
+            device_dets = np.asarray(out["dets"]) if "dets" in out else None
             for i in range(decoded.shape[0]):
-                dets = nms_numpy(
-                    decoded[i],
-                    conf_thres=self.conf_thres,
-                    iou_thres=self.iou_thres,
-                    max_det=self.max_det,
-                )
+                if device_dets is not None:
+                    d = device_dets[i]
+                    dets = d[d[:, 4] > 0]  # trim zero-score padding
+                else:
+                    dets = nms_numpy(
+                        decoded[i],
+                        conf_thres=self.conf_thres,
+                        iou_thres=self.iou_thres,
+                        max_det=self.max_det,
+                    )
                 n = int(mask_gt[i].sum())
                 acc.update(
                     dets[:, :4],

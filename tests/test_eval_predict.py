@@ -162,7 +162,8 @@ def test_public_api():
 
     assert callable(mga_yolo_tpu.load_config)
     assert callable(mga_yolo_tpu.create_model)
-    assert callable(mga_yolo_tpu.train)
+    assert callable(mga_yolo_tpu.MGATrainer)
+    assert callable(mga_yolo_tpu.MGA)
 
 
 def test_grid_prepare_config(tmp_path):
