@@ -116,6 +116,7 @@ class TrainConfig:
     device: Optional[str] = None
     plots: bool = True
     # feature-map capture (reference MGA_SAVE_FM flags)
+    use_pallas: bool = False   # fused Pallas attention kernels (TPU)
     save_fm: bool = False
     save_layers: tuple = (23, 25, 27)
     save_fm_max: int = 4

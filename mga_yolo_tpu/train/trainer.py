@@ -75,7 +75,10 @@ class MGATrainer:
         (self.save_dir / "weights").mkdir(exist_ok=True)
 
         self.model, self.spec = create_model(
-            t.model, scale=t.model_scale, tap_indices=tuple(t.save_layers) if t.save_fm else ()
+            t.model,
+            scale=t.model_scale,
+            tap_indices=tuple(t.save_layers) if t.save_fm else (),
+            use_pallas=t.use_pallas,
         )
         self.strides = (8, 16, 32)
 
