@@ -53,6 +53,16 @@ def init_momentum(params: Params) -> Params:
     return jax.tree_util.tree_map(jnp.zeros_like, params)
 
 
+def clip_by_global_norm(grads: Params, max_norm: float) -> Params:
+    """Global-norm gradient clipping (reference engine/trainer.py:713,
+    clip_grad_norm_ max_norm=10.0). Essential: BN backward through
+    low-variance activations can produce huge early-layer gradients."""
+    sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree_util.tree_leaves(grads))
+    norm = jnp.sqrt(sq)
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree_util.tree_map(lambda g: g * scale.astype(g.dtype), grads)
+
+
 def sgd_update(
     params: Params,
     grads: Params,
@@ -63,8 +73,11 @@ def sgd_update(
     momentum: jax.Array,
     weight_decay: float,
     nesterov: bool = True,
+    max_grad_norm: float = 10.0,
 ):
     """One SGD step over the whole tree; returns (new_params, new_buf)."""
+    if max_grad_norm and max_grad_norm > 0:
+        grads = clip_by_global_norm(grads, max_grad_norm)
 
     def upd(g_tag, p, g, buf):
         g = g + jnp.where(g_tag == 0, weight_decay, 0.0) * p

@@ -70,3 +70,18 @@ def test_confusion_matrix_counts():
         np.zeros((0, 4), np.float32), np.zeros(0), np.zeros(0), gt, gt_cls
     )
     assert cm2.matrix[2, 0] == 1 and cm2.matrix[2, 1] == 1
+
+
+def test_grad_clipping():
+    from mga_yolo_tpu.train.optim import clip_by_global_norm
+
+    g = {"a": jnp.full((10,), 100.0), "b": jnp.full((5,), -100.0)}
+    clipped = clip_by_global_norm(g, 10.0)
+    total = float(
+        jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(clipped)))
+    )
+    assert abs(total - 10.0) < 1e-3
+    # small grads untouched
+    g2 = {"a": jnp.ones((4,)) * 0.1}
+    out = clip_by_global_norm(g2, 10.0)
+    np.testing.assert_allclose(np.asarray(out["a"]), 0.1, rtol=1e-6)

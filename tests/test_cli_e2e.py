@@ -1,0 +1,68 @@
+"""CLI end-to-end: mga-train subprocess on the synthetic dataset, then
+mga-ckpt + mga-val + mga-predict against the produced run directory."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.synth import create_synthetic_dataset
+
+# CPU for subprocesses: env must be set before the interpreter starts
+# (the sandbox sitecustomize imports jax at startup)
+CPU_ENV = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"}
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    data_yaml = create_synthetic_dataset(root, n=4, size=64)
+    out = tmp_path_factory.mktemp("runs")
+    env_cmd = [
+        sys.executable, "-m", "mga_yolo_tpu.cli.train",
+        "--data", str(data_yaml), "--imgsz", "32", "--max_boxes", "4",
+        "--batch", "2", "--nbs", "2", "--epochs", "2", "--mosaic", "0.0",
+        "--workers", "1", "--project", str(out), "--name", "cli1",
+    ]
+    proc = subprocess.run(env_cmd, capture_output=True, text=True, timeout=900, env=CPU_ENV)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    return data_yaml, out / "cli1"
+
+
+def test_train_cli_artifacts(trained_run):
+    _, run_dir = trained_run
+    assert (run_dir / "results.csv").exists()
+    assert (run_dir / "weights" / "best").exists()
+
+
+def test_ckpt_cli(trained_run):
+    _, run_dir = trained_run
+    proc = subprocess.run(
+        [sys.executable, "-m", "mga_yolo_tpu.cli.ckpt", "load", str(run_dir / "weights" / "last")],
+        capture_output=True, text=True, timeout=600, env=CPU_ENV,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "params:" in proc.stdout
+
+
+def test_predict_cli(trained_run, tmp_path):
+    data_yaml, run_dir = trained_run
+    src = data_yaml.parent / "images" / "train"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "mga_yolo_tpu.cli.predict",
+            "--weights", str(run_dir / "weights" / "best"),
+            "--source", str(src), "--out", str(tmp_path / "pred"),
+            "--save-feature-maps",
+        ],
+        capture_output=True, text=True, timeout=900, env=CPU_ENV,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    preds = list((tmp_path / "pred").glob("*_pred.jpg"))
+    masks = list((tmp_path / "pred").glob("*_mask_p3.png"))
+    npzs = list((tmp_path / "pred").glob("*_masks.npz"))
+    assert len(preds) == 4 and len(masks) == 4 and len(npzs) == 4
