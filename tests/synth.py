@@ -22,7 +22,9 @@ def create_synthetic_dataset(root: Path, n: int = 4, size: int = 96, seed: int =
         d.mkdir(parents=True, exist_ok=True)
 
     for i in range(n):
-        img = np.zeros((size, size, 3), np.uint8)
+        # mild background noise: constant images give zero-variance activations
+        # whose BatchNorm backward explodes (see trainer grad clipping)
+        img = rng.integers(0, 30, (size, size, 3)).astype(np.uint8)
         mask = np.zeros((size, size), np.uint8)
         lines = []
         for _ in range(int(rng.integers(1, 3))):
