@@ -22,6 +22,7 @@ def main(argv=None) -> None:
     p.add_argument("--iou", type=float, default=0.45)
     p.add_argument("--out", default="runs/predict")
     p.add_argument("--save-feature-maps", action="store_true")
+    p.add_argument("--fuse", action="store_true", help="fold BN into convs before inference")
     p.add_argument("--batch", type=int, default=16)
     args = p.parse_args(argv)
 
@@ -37,7 +38,7 @@ def main(argv=None) -> None:
         if src.is_dir()
         else [src]
     )
-    pred = load_predictor(args.weights, imgsz=args.imgsz, conf=args.conf, iou=args.iou)
+    pred = load_predictor(args.weights, imgsz=args.imgsz, conf=args.conf, iou=args.iou, fuse=args.fuse)
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 

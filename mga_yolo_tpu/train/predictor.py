@@ -66,7 +66,13 @@ class MGAPredictor:
         iou: float = 0.45,
         max_det: int = 300,
         dtype=jnp.float32,
+        fuse: bool = False,
     ):
+        if fuse:
+            # BN-fold for inference (reference model.fuse())
+            from mga_yolo_tpu.utils.model_utils import fuse_variables
+
+            variables = fuse_variables(variables)
         self.model = model
         self.imgsz = imgsz
         self.conf = conf
