@@ -29,8 +29,8 @@ import numpy as np
 BASELINE_IMG_S = 6.54  # torch reference, CPU, 640px b1 (BASELINE.md)
 IMGSZ = 640
 BATCH = 32
-K1, K2 = 1, 3
-REPS = 5
+K1, K2 = 1, 5
+REPS = 9
 
 
 def make_chained_forward(model, n_chain: int, dtype):
@@ -66,14 +66,17 @@ def main() -> None:
     float(f1(v, x))  # compile
     float(f2(v, x))
 
-    t0 = time.perf_counter()
+    # median over interleaved reps — the tunnel adds jittery per-call latency
+    t1s, t2s = [], []
     for _ in range(REPS):
+        t0 = time.perf_counter()
         float(f1(v, x))
-    t_k1 = (time.perf_counter() - t0) / REPS
-    t0 = time.perf_counter()
-    for _ in range(REPS):
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
         float(f2(v, x))
-    t_k2 = (time.perf_counter() - t0) / REPS
+        t2s.append(time.perf_counter() - t0)
+    t_k1 = float(np.median(t1s))
+    t_k2 = float(np.median(t2s))
 
     per_forward = (t_k2 - t_k1) / (K2 - K1)
     ips = BATCH / per_forward
