@@ -52,7 +52,7 @@ class MGA:
         config = load_config(cfg, **overrides)
         trainer = MGATrainer(config)
         result = trainer.train()
-        self._ckpt = config.save_dir / "weights" / "best"
+        self._ckpt = trainer.save_dir / "weights" / "best"  # increment_path-aware
         self._trainer = trainer
         return result
 

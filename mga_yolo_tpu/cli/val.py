@@ -1,10 +1,18 @@
-"""CLI: mga-val — validate a checkpoint on a dataset (mAP50/50-95/P/R)."""
+"""CLI: mga-val — validate a checkpoint on a dataset (mAP50/50-95/P/R).
+
+Mirrors the reference validation entry (`yolo val` -> DetectionValidator,
+`/root/reference/mga_yolo/external/ultralytics/ultralytics/models/yolo/detect/val.py`):
+per-class results table, speed dict, and with ``--plots`` the confusion
+matrix + PR/F1/P/R curve PNGs (val.py:199-223), with ``--save-json`` COCO
+predictions.json (val.py:365 pred_to_json).
+"""
 
 from __future__ import annotations
 
 import argparse
 import json
 import sys
+from pathlib import Path
 
 
 def main(argv=None) -> None:
@@ -16,40 +24,60 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--conf", type=float, default=0.001)
     p.add_argument("--iou", type=float, default=0.7)
+    p.add_argument("--max-det", type=int, default=300)
     p.add_argument("--split", default="val")
+    p.add_argument("--plots", action="store_true",
+                   help="save confusion matrix + PR/F1/P/R curves")
+    p.add_argument("--save-json", action="store_true",
+                   help="save COCO-format predictions.json")
+    p.add_argument("--out", default=None, help="output dir (default: runs/val)")
     args = p.parse_args(argv)
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from mga_yolo_tpu.config import load_config
     from mga_yolo_tpu.data.dataset import MGADataset
     from mga_yolo_tpu.data.loader import DataLoader
-    from mga_yolo_tpu.ops.nms import nms_numpy
+    from mga_yolo_tpu.ops.nms import nms_jax
+    from mga_yolo_tpu.train.validator import Validator
     from mga_yolo_tpu.utils.checkpoint import rebuild_from_checkpoint
-    from mga_yolo_tpu.utils.metrics import MetricAccumulator
+    from mga_yolo_tpu.utils.files import increment_path
 
     model, variables, meta = rebuild_from_checkpoint(args.weights)
     imgsz = args.imgsz or int(meta.get("imgsz", 640))
+    nc = int(meta.get("nc", 1))
     cfg = load_config({"data": args.data, "imgsz": imgsz, "batch": args.batch})
     ds = MGADataset(cfg, args.split, augment=False)
     dl = DataLoader(ds, batch_size=min(args.batch, len(ds)), shuffle=False, drop_last=False)
 
     @jax.jit
-    def forward(v, x):
-        out = model.apply(v, x.astype(jax.numpy.float32) / 255.0, train=False)
-        return out["det"][0]
+    def eval_fn(v, batch):
+        out = model.apply(v, batch["image"].astype(jnp.float32) / 255.0, train=False)
+        decoded = out["det"][0].astype(jnp.float32)
+        boxes, scores, cls = nms_jax(
+            decoded, conf_thres=args.conf, iou_thres=args.iou,
+            max_det=args.max_det, multi_label=nc > 1,
+        )
+        dets = jnp.concatenate([boxes, scores[..., None], cls[..., None]], axis=-1)
+        return {"decoded": decoded, "dets": dets, "items": jnp.zeros((10,), jnp.float32)}
 
-    acc = MetricAccumulator()
-    for batch in dl:
-        decoded = np.asarray(forward(variables, jax.numpy.asarray(batch["image"])))
-        for i in range(decoded.shape[0]):
-            dets = nms_numpy(decoded[i], args.conf, args.iou)
-            n = int(batch["mask_gt"][i].sum())
-            acc.update(dets[:, :4], dets[:, 4], dets[:, 5],
-                       batch["gt_boxes"][i, :n], batch["gt_labels"][i, :n].astype(np.float32))
-    m = acc.compute()
-    print(json.dumps(m.results_dict(), indent=2))
+    validator = Validator(eval_fn, dl, cfg, conf_thres=args.conf,
+                          iou_thres=args.iou, max_det=args.max_det)
+    out_dir = None
+    if args.plots or args.save_json:
+        out_dir = increment_path(Path(args.out) if args.out else Path("runs") / "val")
+        out_dir.mkdir(parents=True, exist_ok=True)
+    result = validator(
+        variables,
+        plots_dir=out_dir if args.plots else None,
+        save_json=(out_dir / "predictions.json") if args.save_json else None,
+        verbose=True,
+    )
+    speed_str = ", ".join(f"{k} {v:.1f}ms" for k, v in result.speed.items())
+    print(f"speed: {speed_str} per image")
+    print(json.dumps(result.results_dict(), indent=2))
 
 
 if __name__ == "__main__":

@@ -47,8 +47,10 @@ class AugmentConfig:
     flipud: float = 0.0
     fliplr: float = 0.5
     mosaic: float = 1.0
+    mosaic_n: int = 4       # mosaic layout: 3 (1x3), 4 (2x2) or 9 (3x3) images
     mixup: float = 0.0
     cutmix: float = 0.0
+    albumentations: float = 0.0  # pixel-transform adapter prob (needs the optional dep)
     close_mosaic: int = 10  # disable mosaic for last N epochs
 
 

@@ -150,11 +150,13 @@ class MGADataset:
         aug = self.cfg.augment
         s = size or self.imgsz
         if use_mosaic and rng.random() < aug.mosaic:
-            idxs = [i] + list(rng.integers(0, len(self), 3))
+            n = aug.mosaic_n if aug.mosaic_n in (3, 4, 9) else 4
+            idxs = [i] + list(rng.integers(0, len(self), n - 1))
             parts = [
                 T.letterbox(self.load_raw(j), s, scaleup=True, center=False) for j in idxs
             ]
-            sample = T.mosaic4(parts, rng, s)
+            mosaic_fn = {3: T.mosaic3, 4: T.mosaic4, 9: T.mosaic9}[n]
+            sample = mosaic_fn(parts, rng, s)
             border = (-s // 2, -s // 2)
             sample = T.random_affine(sample, rng, aug, border=border)
             if aug.mixup and rng.random() < aug.mixup:
@@ -166,6 +168,9 @@ class MGADataset:
         else:
             sample = T.letterbox(self.load_raw(i), s, scaleup=True)
             sample = T.random_affine(sample, rng, aug)
+        if aug.albumentations:
+            # reference order: Albumentations before HSV/flip (v8_transforms)
+            sample = T.albumentations(sample, rng, aug.albumentations)
         sample = T.random_hsv(sample, rng, aug.hsv_h, aug.hsv_s, aug.hsv_v)
         sample = T.random_flip(sample, rng, aug.fliplr, aug.flipud)
         return sample

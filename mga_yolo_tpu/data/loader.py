@@ -63,6 +63,12 @@ class DataLoader:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         if self.drop_last and n >= self.global_batch:
             order = order[: (n // self.global_batch) * self.global_batch]
+        elif not self.drop_last and self.num_shards > 1 and n % self.global_batch:
+            # multi-host eval: pad the tail to a full global batch (wrap-around
+            # indices) so every host's local shard has the same static shape;
+            # consumers deduplicate via the batch's `index` array
+            pad = self.global_batch - (n % self.global_batch)
+            order = np.concatenate([order, order[:pad]])
         return order
 
     def __iter__(self) -> Iterator[dict]:

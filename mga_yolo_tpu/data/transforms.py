@@ -290,6 +290,60 @@ def mosaic4(
     }
 
 
+def mosaic3(samples: Sequence[Sample], rng: np.random.Generator, imgsz: int) -> Sample:
+    """1x3 horizontal mosaic (reference Mosaic._mosaic3, augment.py:596-662
+    with the bin_mask fork edit): main image centered on a 3s canvas, one
+    image to its right, one to its left; final output is the centered 2s x 2s
+    crop (border = -s//2), masks placed with the same offsets.
+    """
+    s = imgsz
+    canvas = np.full((3 * s, 3 * s, 3), 114, np.uint8)
+    mask_canvas = np.zeros((3 * s, 3 * s), np.uint8)
+    has_mask = any(sm.get("mask") is not None for sm in samples[:3])
+    all_boxes, all_cls = [], []
+    h0 = w0 = 0
+    for i, sm in enumerate(samples[:3]):
+        img = sm["img"]
+        h, w = img.shape[:2]
+        if i == 0:  # center
+            h0, w0 = h, w
+            c = (s, s, s + w, s + h)
+        elif i == 1:  # right of center
+            c = (s + w0, s, s + w0 + w, s + h)
+        else:  # left of center, bottom-aligned with it
+            c = (s - w, s + h0 - h, s, s + h0)
+        padw, padh = c[:2]
+        x1, y1, x2, y2 = (max(v, 0) for v in c)
+        canvas[y1:y2, x1:x2] = img[y1 - padh :, x1 - padw :]
+        if sm.get("mask") is not None:
+            mask_canvas[y1:y2, x1:x2] = sm["mask"][y1 - padh :, x1 - padw :]
+        if len(sm.get("boxes", ())):
+            b = sm["boxes"].copy()
+            b[:, [0, 2]] += padw
+            b[:, [1, 3]] += padh
+            all_boxes.append(b)
+            all_cls.append(sm["cls"])
+    boxes = (
+        np.concatenate(all_boxes).astype(np.float32) if all_boxes else np.zeros((0, 4), np.float32)
+    )
+    cls = np.concatenate(all_cls) if all_cls else np.zeros((0,), np.float32)
+    # centered 2s x 2s crop (reference border = [-s//2, -s//2])
+    o = s // 2
+    crop = canvas[o : o + 2 * s, o : o + 2 * s]
+    mask_crop = mask_canvas[o : o + 2 * s, o : o + 2 * s]
+    if len(boxes):
+        boxes[:, [0, 2]] = (boxes[:, [0, 2]] - o).clip(0, 2 * s)
+        boxes[:, [1, 3]] = (boxes[:, [1, 3]] - o).clip(0, 2 * s)
+        keep = ((boxes[:, 2] - boxes[:, 0]) > 2) & ((boxes[:, 3] - boxes[:, 1]) > 2)
+        boxes, cls = boxes[keep], cls[keep]
+    return {
+        "img": np.ascontiguousarray(crop),
+        "boxes": boxes,
+        "cls": cls,
+        "mask": np.ascontiguousarray(mask_crop) if has_mask else None,
+    }
+
+
 def mosaic9(samples: Sequence[Sample], rng: np.random.Generator, imgsz: int) -> Sample:
     """9-image mosaic on a 3x canvas (reference Mosaic._mosaic9, augment.py:767-810),
     masks placed with the same offsets."""
@@ -397,4 +451,43 @@ def cutmix(a: Sample, b: Sample, rng: np.random.Generator, beta: float = 1.0) ->
         else:
             m[y1:y2, x1:x2] = 0
         out["mask"] = m
+    return out
+
+
+_ALBU_PIPELINE = None
+_ALBU_CHECKED = False
+
+
+def albumentations(sample: Sample, rng: np.random.Generator, p: float = 1.0) -> Sample:
+    """Optional Albumentations pixel-transform adapter (reference
+    augment.py:1931): Blur/MedianBlur/ToGray/CLAHE at p=0.01 each, applied to
+    the image only (spatial layout untouched, so boxes and mask stay valid).
+    Import-guarded — a no-op identity when the package is not installed
+    (it is absent from this image's baked dependency set).
+    """
+    global _ALBU_PIPELINE, _ALBU_CHECKED
+    if not _ALBU_CHECKED:
+        _ALBU_CHECKED = True
+        try:
+            import albumentations as A
+
+            _ALBU_PIPELINE = A.Compose(
+                [
+                    A.Blur(p=0.01),
+                    A.MedianBlur(p=0.01),
+                    A.ToGray(p=0.01),
+                    A.CLAHE(p=0.01),
+                    A.RandomBrightnessContrast(p=0.0),
+                    A.RandomGamma(p=0.0),
+                ]
+            )
+        except ImportError:
+            _ALBU_PIPELINE = None
+    if _ALBU_PIPELINE is None or rng.random() > p:
+        return sample
+    import random as _random
+
+    _random.seed(int(rng.integers(0, 2**31)))  # albumentations draws from stdlib random
+    out = dict(sample)
+    out["img"] = _ALBU_PIPELINE(image=sample["img"])["image"]
     return out

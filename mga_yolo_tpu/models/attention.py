@@ -137,22 +137,33 @@ class MaskCBAM(nn.Module):
             mask = ProbMaskGater(mode=self.prob_approach, name="gater")(mask, train)
 
         # ---- CAM: masked avg/max descriptors -> shared MLP -> sigmoid gate ----
-        if mask is not None and self.use_pallas:
-            from mga_yolo_tpu.ops.pallas.masked_pool import masked_pool_fused
+        # fully-fused Pallas path: reductions + MLP + sigmoid in ONE pass over
+        # HBM (ops/pallas/masked_pool.py cam_gate_fused). The param tree is
+        # identical to the XLA path: the Dense modules below create the
+        # cam_fc1/cam_fc2 params during init, the fused path reads them back.
+        fuse_cam = mask is not None and self.use_pallas and not self.is_initializing()
+        if fuse_cam:
+            from mga_yolo_tpu.ops.pallas.masked_pool import cam_gate_fused
 
             m = _sigmoid_mask(mask, self.use_sigmoid_mask)
-            avg, mx = masked_pool_fused(feat, m, self.tiny_mask_thr, self.eps)
-        elif mask is not None:
-            m = _sigmoid_mask(mask, self.use_sigmoid_mask)
-            avg = masked_avg_pool(feat, m, self.tiny_mask_thr, self.eps)
-            mx = masked_max_pool(feat, m)
+            p1 = self.get_variable("params", "cam_fc1")
+            p2 = self.get_variable("params", "cam_fc2")
+            y = cam_gate_fused(
+                feat, m, p1["kernel"], p1["bias"], p2["kernel"], p2["bias"],
+                self.tiny_mask_thr, self.eps,
+            ).astype(feat.dtype)
         else:
-            avg = jnp.mean(feat, axis=(1, 2))
-            mx = jnp.max(feat, axis=(1, 2))
-        mlp = nn.Sequential(
-            [nn.Dense(hidden, name="cam_fc1"), nn.relu, nn.Dense(C, name="cam_fc2")]
-        )
-        y = jax.nn.sigmoid(mlp(avg) + mlp(mx)).astype(feat.dtype)  # (B,C)
+            if mask is not None:
+                m = _sigmoid_mask(mask, self.use_sigmoid_mask)
+                avg = masked_avg_pool(feat, m, self.tiny_mask_thr, self.eps)
+                mx = masked_max_pool(feat, m)
+            else:
+                avg = jnp.mean(feat, axis=(1, 2))
+                mx = jnp.max(feat, axis=(1, 2))
+            mlp = nn.Sequential(
+                [nn.Dense(hidden, name="cam_fc1"), nn.relu, nn.Dense(C, name="cam_fc2")]
+            )
+            y = jax.nn.sigmoid(mlp(avg) + mlp(mx)).astype(feat.dtype)  # (B,C)
         cam_out = feat * y[:, None, None, :]
 
         # ---- SAM: conv over [chan-max, chan-avg, mask] ----

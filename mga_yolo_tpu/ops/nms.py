@@ -32,22 +32,38 @@ def nms_jax(
     max_nms: int = 1024,
     class_agnostic: bool = False,
     max_wh: float = 7680.0,
+    multi_label: bool = False,
 ):
     """Batched fixed-shape NMS.
 
     Returns (boxes (B, max_det, 4) xyxy, scores (B, max_det), cls (B, max_det))
     with zero-score padding. jit-safe; used by the TPU inference path.
+
+    ``multi_label`` mirrors the reference (`utils/ops.py:266` multi_label
+    candidate expansion when nc > 1, standard for mAP): every (anchor, class)
+    pair above the confidence threshold becomes a candidate instead of only
+    the argmax class. Static-shape formulation: the (A, nc) score matrix is
+    flattened to A*nc candidates with the box repeated per class, then top-k
+    pre-cut as usual.
     """
     b, a, no = pred.shape
     nc = no - 4
     boxes = xywh2xyxy(pred[..., :4])
     cls_probs = pred[..., 4:]
-    scores = cls_probs.max(-1)
-    cls = cls_probs.argmax(-1).astype(jnp.float32)
+    if multi_label and nc > 1:
+        # (B, A, nc) -> (B, A*nc) candidates: anchor i class j at i*nc+j
+        scores = cls_probs.reshape(b, a * nc)
+        cls = jnp.tile(jnp.arange(nc, dtype=jnp.float32)[None, None, :], (b, a, 1)).reshape(b, a * nc)
+        boxes = jnp.repeat(boxes, nc, axis=1)  # (B, A*nc, 4)
+        n_cand = a * nc
+    else:
+        scores = cls_probs.max(-1)
+        cls = cls_probs.argmax(-1).astype(jnp.float32)
+        n_cand = a
     valid = scores > conf_thres
     scores = jnp.where(valid, scores, 0.0)
 
-    k = min(max_nms, a)
+    k = min(max_nms, n_cand)
     top_scores, top_idx = jax.lax.top_k(scores, k)  # (B, k)
     top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
     top_cls = jnp.take_along_axis(cls, top_idx, axis=1)

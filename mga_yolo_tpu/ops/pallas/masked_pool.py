@@ -204,3 +204,154 @@ def _bwd(tiny_thr, eps, use_pallas, res, g):
 
 
 masked_pool_fused.defvjp(_fwd, _bwd)
+
+
+# ------------------------------------------------------------------ fused CAM
+
+
+def _cam_kernel_factory(n_tiles: int, n_real: int, tiny_thr: float, eps: float):
+    """Kernel computing the 5 reductions AND, on the last row tile, the full
+    CAM gate: combine -> shared MLP (C->C/r->C) on avg & max descriptors ->
+    sigmoid(sum). One pass over HBM for the whole channel-attention branch
+    (reference masked_cbam.py:87-130 pools + MLP + _cam)."""
+
+    def kernel(x_ref, m_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               msum_ref, wsum_ref, gsum_ref, mmax_ref, cnt_ref, gate_ref):
+        r = pl.program_id(1)
+
+        x = x_ref[0].astype(jnp.float32)       # (T, C)
+        m = m_ref[0].astype(jnp.float32)       # (T, 1)
+
+        part_wsum = jnp.sum(x * m, axis=0, keepdims=True)
+        part_gsum = jnp.sum(x, axis=0, keepdims=True)
+        part_msum = jnp.sum(m, axis=0, keepdims=True)
+        sel = m > 0.5
+        part_cnt = jnp.sum(sel.astype(jnp.float32), axis=0, keepdims=True)
+        part_max = jnp.max(jnp.where(sel, x, _NEG), axis=0, keepdims=True)
+
+        @pl.when(r == 0)
+        def _():
+            wsum_ref[0] = part_wsum
+            gsum_ref[0] = part_gsum
+            msum_ref[0] = part_msum
+            cnt_ref[0] = part_cnt
+            mmax_ref[0] = part_max
+
+        @pl.when(r != 0)
+        def _():
+            wsum_ref[0] += part_wsum
+            gsum_ref[0] += part_gsum
+            msum_ref[0] += part_msum
+            cnt_ref[0] += part_cnt
+            mmax_ref[0] = jnp.maximum(mmax_ref[0], part_max)
+
+        @pl.when(r == n_tiles - 1)
+        def _():
+            msum = msum_ref[0]                                   # (1,1)
+            gap = gsum_ref[0] / n_real                           # (1,C)
+            mavg = wsum_ref[0] / jnp.maximum(msum, eps)
+            valid = (msum / n_real >= tiny_thr).astype(jnp.float32)
+            avg_desc = mavg * valid + gap * (1.0 - valid)
+            max_desc = jnp.where(cnt_ref[0] > 0, mmax_ref[0], gap)
+
+            w1 = w1_ref[:].astype(jnp.float32)                   # (C, h)
+            b1 = b1_ref[:].astype(jnp.float32)                   # (1, h)
+            w2 = w2_ref[:].astype(jnp.float32)                   # (h, C)
+            b2 = b2_ref[:].astype(jnp.float32)                   # (1, C)
+
+            def mlp(d):
+                h = jnp.maximum(
+                    jnp.dot(d, w1, preferred_element_type=jnp.float32) + b1, 0.0
+                )
+                return jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2
+
+            gate_ref[0] = jax.nn.sigmoid(mlp(avg_desc) + mlp(max_desc))
+
+    return kernel
+
+
+def _cam_gate_pallas(x2, m2, w1, b1, w2, b2, tiny_thr, eps, rows_tile: int = 512):
+    B, N, C = x2.shape
+    hidden = w1.shape[1]
+    n_tiles = max(1, -(-N // rows_tile))
+    pad = n_tiles * rows_tile - N
+    if pad:
+        x2 = jnp.pad(x2, ((0, 0), (0, pad), (0, 0)))
+        m2 = jnp.pad(m2, ((0, 0), (0, pad), (0, 0)))
+    b1r = b1.reshape(1, hidden)
+    b2r = b2.reshape(1, C)
+
+    outs = pl.pallas_call(
+        _cam_kernel_factory(n_tiles, N, tiny_thr, eps),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, rows_tile, C), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_tile, 1), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hidden), lambda b, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda b, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, C), lambda b, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, r: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1), lambda b, r: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, r: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, r: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, r: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, r: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, r: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+        ),
+    )(x2, m2, w1, b1r, w2, b2r)
+    return outs[-1][:, 0, :]  # (B, C) gate
+
+
+def _cam_gate_ref(x, m, w1, b1, w2, b2, tiny_thr, eps):
+    """XLA reference composition (pools + shared MLP + sigmoid)."""
+    B, H, W, C = x.shape
+    x2 = x.reshape(B, H * W, C)
+    m2 = m.reshape(B, H * W, 1)
+    reds = _reductions_xla(x2, m2)
+    avg, mx = _combine(reds, H * W, tiny_thr, eps, jnp.float32)
+
+    def mlp(d):
+        h = jnp.maximum(d.astype(jnp.float32) @ w1.astype(jnp.float32) + b1.astype(jnp.float32), 0.0)
+        return h @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+
+    return jax.nn.sigmoid(mlp(avg) + mlp(mx))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def cam_gate_fused(x, m, w1, b1, w2, b2, tiny_thr: float = 1e-4, eps: float = 1e-6,
+                   use_pallas: bool = True):
+    """Fully-fused CAM channel gate: (B,H,W,C) x (B,H,W,1) -> (B,C) float32.
+
+    Forward = ONE Pallas pass (reductions + MLP + sigmoid); backward
+    recomputes through the XLA reference composition (the activations are
+    O(B*C) — recompute is cheaper than storing per-tile state)."""
+    on_tpu = HAS_PALLAS and jax.default_backend() == "tpu"
+    if use_pallas and on_tpu:
+        B, H, W, C = x.shape
+        return _cam_gate_pallas(
+            x.reshape(B, H * W, C), m.reshape(B, H * W, 1), w1, b1, w2, b2, tiny_thr, eps
+        )
+    return _cam_gate_ref(x, m, w1, b1, w2, b2, tiny_thr, eps)
+
+
+def _cam_fwd(x, m, w1, b1, w2, b2, tiny_thr, eps, use_pallas):
+    return cam_gate_fused(x, m, w1, b1, w2, b2, tiny_thr, eps, use_pallas), (x, m, w1, b1, w2, b2)
+
+
+def _cam_bwd(tiny_thr, eps, use_pallas, res, g):
+    x, m, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(lambda *a: _cam_gate_ref(*a, tiny_thr, eps), x, m, w1, b1, w2, b2)
+    return vjp(g.astype(jnp.float32))
+
+
+cam_gate_fused.defvjp(_cam_fwd, _cam_bwd)

@@ -23,9 +23,11 @@ from __future__ import annotations
 
 import argparse
 import itertools
+import queue
 import re
 import subprocess
 import sys
+import threading
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -46,6 +48,33 @@ class Job:
     proc: Optional[subprocess.Popen] = None
     status: str = "pending"
     progress: str = ""
+    # one daemon reader thread per job drains child stdout into this queue so
+    # the scheduler never blocks on a silent job and a chatty job can never
+    # fill its pipe while the monitor is looking elsewhere (round-1 bug:
+    # blocking readline() in the poll loop could deadlock with slots > 1)
+    lines: "queue.Queue[str]" = field(default_factory=queue.Queue)
+    _reader: Optional[threading.Thread] = None
+
+    def start_reader(self) -> None:
+        assert self.proc is not None and self.proc.stdout is not None
+
+        def pump(stream, q):
+            for line in iter(stream.readline, ""):
+                q.put(line)
+            stream.close()
+
+        self._reader = threading.Thread(
+            target=pump, args=(self.proc.stdout, self.lines), daemon=True
+        )
+        self._reader.start()
+
+    def drain(self) -> list[str]:
+        out = []
+        while True:
+            try:
+                out.append(self.lines.get_nowait())
+            except queue.Empty:
+                return out
 
 
 def prepare_config(
@@ -70,30 +99,39 @@ def launch(job: Job) -> subprocess.Popen:
     return subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
 
 
-def schedule_loop(jobs: list[Job], slots: int = 1, poll: float = 2.0) -> None:
-    """Run jobs with at most ``slots`` concurrent subprocesses (reference :231-256)."""
+def schedule_loop(jobs: list[Job], slots: int = 1, poll: float = 0.2) -> None:
+    """Run jobs with at most ``slots`` concurrent subprocesses (reference :231-256).
+
+    Non-blocking monitoring: every child's stdout is pumped by its own daemon
+    thread (Job.start_reader), so this loop only ever reads from in-memory
+    queues and a stalled/silent job cannot block progress parsing of others.
+    """
     pending = list(jobs)
     running: list[Job] = []
     while pending or running:
         while pending and len(running) < slots:
             job = pending.pop(0)
             job.proc = launch(job)
+            job.start_reader()
             job.status = "running"
             running.append(job)
             print(f"[grid] started {job.name}")
         for job in list(running):
             assert job.proc is not None
-            line = job.proc.stdout.readline() if job.proc.stdout else ""
-            if line:
+            for line in job.drain():
                 m = EPOCH_RE.search(line)
                 if m:
                     job.progress = f"{m.group(1)}/{m.group(2)}"
                     print(f"[grid] {job.name}: epoch {job.progress}")
             if job.proc.poll() is not None:
+                for line in job.drain():  # flush tail output after exit
+                    m = EPOCH_RE.search(line)
+                    if m:
+                        job.progress = f"{m.group(1)}/{m.group(2)}"
                 job.status = "done" if job.proc.returncode == 0 else f"failed({job.proc.returncode})"
                 print(f"[grid] {job.name}: {job.status}")
                 running.remove(job)
-        time.sleep(poll if not running else 0.01)
+        time.sleep(poll)
 
 
 def main(argv=None) -> None:

@@ -105,6 +105,13 @@ class MGAPredictor:
                                 "cls": np.zeros((0,), np.float32)}, self.imgsz, scaleup=False)
                 imgs.append(lb["img"])
                 metas.append((path, img.shape[:2], lb["ratio_pad"]))
+            n_real = len(imgs)
+            if n_real < batch_size and len(items) > batch_size:
+                # pad the tail chunk to the full batch so the jitted forward
+                # keeps one compiled shape (a fresh per-shape compile is
+                # expensive on the remote-compile TPU tunnel); padded rows are
+                # dropped after the forward
+                imgs.extend([imgs[-1]] * (batch_size - n_real))
             x = jnp.asarray(np.stack(imgs))
             decoded, seg = self._forward(self.variables, x)
             decoded = np.asarray(decoded, np.float32)

@@ -26,17 +26,19 @@ from mga_yolo_tpu.train import optim
 
 
 class TrainState(struct.PyTreeNode):
-    step: jax.Array
+    step: jax.Array          # micro-batch counter (increments every train_step)
+    opt_step: jax.Array      # optimizer-step counter (increments on each apply)
+    last_apply: jax.Array    # micro-step of the last optimizer apply
     params: Any
     batch_stats: Any
-    momentum_buf: Any
+    opt_state: Any           # optimizer slot buffers ({"m"[, "v"|"sq"]} trees)
     ema_params: Any
     ema_batch_stats: Any
     groups: Any = struct.field(pytree_node=True)
     accum_grads: Any = None  # gradient accumulation buffer (None when accumulate == 1)
 
 
-def create_train_state(model, rng, imgsz: int, batch: int = 1) -> TrainState:
+def create_train_state(model, rng, imgsz: int, batch: int = 1, opt_name: str = "sgd") -> TrainState:
     x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
     # jit the init: an eager init compiles every op separately (minutes on CPU)
     variables = jax.jit(partial(model.init, train=False))(rng, x)
@@ -45,9 +47,11 @@ def create_train_state(model, rng, imgsz: int, batch: int = 1) -> TrainState:
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
         step=jnp.zeros((), jnp.int32),
+        opt_step=jnp.zeros((), jnp.int32),
+        last_apply=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        momentum_buf=optim.init_momentum(params),
+        opt_state=optim.init_opt_state(opt_name, params),
         ema_params=jax.tree_util.tree_map(jnp.copy, params),
         ema_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
         groups=optim.param_groups(params),
@@ -77,6 +81,10 @@ def make_train_step(
     ema_tau: float,
     accumulate: int = 1,
     compute_dtype=jnp.float32,
+    opt_name: str = "sgd",
+    nesterov: bool = True,
+    warmup_steps: int = 0,
+    max_grad_norm: float = 10.0,
 ) -> Callable:
     """Build the pure train-step function (to be jitted by the caller).
 
@@ -86,6 +94,15 @@ def make_train_step(
     the float32 masters — the TPU equivalent of the reference's
     autocast+GradScaler AMP (reference trainer.py `_do_train`); no loss
     scaling is needed since bf16 shares float32's exponent range.
+
+    Gradient accumulation follows the reference's *summed* convention
+    (engine/trainer.py:491,713): the v8 loss is already scaled by the
+    micro-batch size, so micro-batch gradients are summed (NOT averaged)
+    until the apply boundary and the accumulated sum — clipped to global
+    norm 10 — is applied, reproducing the nominal-batch (nbs) gradient.
+    With ``warmup_steps > 0`` the effective accumulate ramps 1 -> accumulate
+    over warmup like the reference (trainer.py:467); the apply condition and
+    counters live on-device so no extra host scalars are needed.
     """
 
     def loss_fn(params, batch_stats, batch, rng):
@@ -116,18 +133,17 @@ def make_train_step(
         new_bs = _cast_floating(mutated.get("batch_stats", {}), jnp.float32)
         return total, (new_bs, items, logs)
 
-    def apply_update(state, grads, new_bs, lr, lr_bias, momentum, step):
-        new_params, new_buf = optim.sgd_update(
-            state.params, grads, state.momentum_buf, state.groups,
-            lr, lr_bias, momentum, weight_decay,
+    update_fn = optim.make_update_fn(opt_name, weight_decay, nesterov)
+
+    def apply_update(state, grads, lr, lr_bias, momentum, opt_step):
+        if max_grad_norm and max_grad_norm > 0:
+            grads = optim.clip_by_global_norm(grads, max_grad_norm)
+        new_params, new_opt = update_fn(
+            state.params, grads, state.opt_state, state.groups,
+            lr, lr_bias, momentum, opt_step,
         )
-        ema_params = optim.ema_update(state.ema_params, new_params, step, ema_decay, ema_tau)
-        ema_bs = (
-            optim.ema_update(state.ema_batch_stats, new_bs, step, ema_decay, ema_tau)
-            if new_bs
-            else state.ema_batch_stats
-        )
-        return new_params, new_buf, ema_params, ema_bs
+        ema_params = optim.ema_update(state.ema_params, new_params, opt_step, ema_decay, ema_tau)
+        return new_params, new_opt, ema_params
 
     def train_step(state: TrainState, batch, lr, lr_bias, momentum, rng):
         (total, (new_bs, items, logs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -136,47 +152,71 @@ def make_train_step(
         step = state.step + 1
 
         if accumulate <= 1:
-            new_params, new_buf, ema_params, ema_bs = apply_update(
-                state, grads, new_bs, lr, lr_bias, momentum, step
+            opt_step = state.opt_step + 1
+            new_params, new_opt, ema_params = apply_update(
+                state, grads, lr, lr_bias, momentum, opt_step
+            )
+            ema_bs = (
+                optim.ema_update(state.ema_batch_stats, new_bs, opt_step, ema_decay, ema_tau)
+                if new_bs
+                else state.ema_batch_stats
             )
             new_state = state.replace(
                 step=step,
+                opt_step=opt_step,
+                last_apply=step,
                 params=new_params,
                 batch_stats=new_bs if new_bs else state.batch_stats,
-                momentum_buf=new_buf,
+                opt_state=new_opt,
                 ema_params=ema_params,
                 ema_batch_stats=ema_bs,
             )
         else:
             # gradient accumulation to the nominal batch size (reference
-            # trainer accumulate = nbs/batch, engine/trainer.py:312+);
+            # trainer accumulate = nbs/batch, engine/trainer.py:399);
             # BN stats still update every micro-step like torch
             acc0 = state.accum_grads
             if acc0 is None:
                 acc0 = jax.tree_util.tree_map(jnp.zeros_like, grads)
             acc = jax.tree_util.tree_map(jnp.add, acc0, grads)
-            do_apply = (step % accumulate) == 0
+            if warmup_steps > 0:
+                # reference ramps accumulate 1 -> nbs/batch over warmup
+                # (trainer.py:467 np.interp(ni, [0, nw], [1, nbs/batch]).round())
+                t = jnp.clip(step.astype(jnp.float32) / warmup_steps, 0.0, 1.0)
+                acc_now = jnp.maximum(1, jnp.round(1.0 + t * (accumulate - 1))).astype(jnp.int32)
+            else:
+                acc_now = jnp.asarray(accumulate, jnp.int32)
+            do_apply = (step - state.last_apply) >= acc_now
 
             def yes(_):
-                eff = jax.tree_util.tree_map(lambda a: a / accumulate, acc)
-                new_params, new_buf, ema_params, ema_bs = apply_update(
-                    state, eff, new_bs, lr, lr_bias, momentum, step
+                opt_step = state.opt_step + 1
+                new_params, new_opt, ema_params = apply_update(
+                    state, acc, lr, lr_bias, momentum, opt_step
+                )
+                ema_bs = (
+                    optim.ema_update(state.ema_batch_stats, new_bs, opt_step, ema_decay, ema_tau)
+                    if new_bs
+                    else state.ema_batch_stats
                 )
                 zeros = jax.tree_util.tree_map(jnp.zeros_like, acc)
-                return new_params, new_buf, ema_params, ema_bs, zeros
+                return new_params, new_opt, ema_params, ema_bs, zeros, opt_step, step
 
             def no(_):
-                ema_bs = state.ema_batch_stats
-                return state.params, state.momentum_buf, state.ema_params, ema_bs, acc
+                return (
+                    state.params, state.opt_state, state.ema_params,
+                    state.ema_batch_stats, acc, state.opt_step, state.last_apply,
+                )
 
-            new_params, new_buf, ema_params, ema_bs, new_acc = jax.lax.cond(
+            new_params, new_opt, ema_params, ema_bs, new_acc, opt_step, last_apply = jax.lax.cond(
                 do_apply, yes, no, None
             )
             new_state = state.replace(
                 step=step,
+                opt_step=opt_step,
+                last_apply=last_apply,
                 params=new_params,
                 batch_stats=new_bs if new_bs else state.batch_stats,
-                momentum_buf=new_buf,
+                opt_state=new_opt,
                 ema_params=ema_params,
                 ema_batch_stats=ema_bs,
                 accum_grads=new_acc,
@@ -198,6 +238,7 @@ def make_eval_step(
     nms_conf: float = 0.001,
     nms_iou: float = 0.7,
     max_det: int = 300,
+    nms_multi_label: bool = False,
 ) -> Callable:
     """Eval step on EMA weights: decoded predictions + val loss items.
 
@@ -240,7 +281,8 @@ def make_eval_step(
             from mga_yolo_tpu.ops.nms import nms_jax
 
             boxes, scores, cls = nms_jax(
-                decoded, conf_thres=nms_conf, iou_thres=nms_iou, max_det=max_det
+                decoded, conf_thres=nms_conf, iou_thres=nms_iou, max_det=max_det,
+                multi_label=nms_multi_label,
             )
             result["dets"] = jnp.concatenate(
                 [boxes, scores[..., None], cls[..., None]], axis=-1
@@ -248,6 +290,56 @@ def make_eval_step(
         return result
 
     return eval_step
+
+
+def host_local_to_global(batch: dict, mesh: Mesh):
+    """Move a host batch onto the mesh with the training input shardings.
+
+    Single-process: an async ``jax.device_put`` per leaf — issued one step
+    ahead by :func:`prefetch_to_device` it double-buffers H2D under the
+    previous step's compute (the VERDICT r2 throughput lever). Multi-host
+    SPMD (SURVEY.md §5.8): each host loads its ``1/process_count`` slice of
+    the global batch (DataLoader num_shards) and this stitches the shards
+    into globally-sharded arrays via ``jax.make_array_from_process_local_data``.
+    """
+    import numpy as np
+
+    _, data_sh = shard_batch_specs(mesh)
+    if jax.process_count() == 1:
+        to_global = lambda x: jax.device_put(x, data_sh)
+    else:
+        to_global = lambda x: jax.make_array_from_process_local_data(data_sh, np.asarray(x))
+
+    out = {}
+    for k, v in batch.items():
+        out[k] = [to_global(x) for x in v] if isinstance(v, list) else to_global(v)
+    return out
+
+
+def prefetch_to_device(iterator, mesh: Mesh, depth: int = 2):
+    """Wrap a host batch iterator with device prefetch: keep up to ``depth``
+    batches resident on device ahead of consumption so the H2D copy of batch
+    i+1 overlaps with compute of batch i (reference overlaps via dataloader
+    worker processes + pinned memory; here via async device_put)."""
+    import collections
+
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        while len(buf) < depth:
+            nxt = dict(next(it))
+            nxt.pop("index", None)
+            buf.append(host_local_to_global(nxt, mesh))
+    except StopIteration:
+        pass
+    while buf:
+        yield buf.popleft()
+        try:
+            nxt = dict(next(it))
+            nxt.pop("index", None)
+            buf.append(host_local_to_global(nxt, mesh))
+        except StopIteration:
+            pass
 
 
 def data_mesh(devices=None) -> Mesh:

@@ -97,3 +97,82 @@ class CSVLoggerCallback:
             if not exists:
                 w.writeheader()
             w.writerow(row)
+
+
+class WandBLogger:
+    """Weights & Biases adapter (reference utils/callbacks/wb.py).
+
+    Import-guarded: a no-op when wandb is not installed (it is absent from
+    this image's baked dependency set) or when init fails (offline sandbox).
+    """
+
+    def __init__(self, project: str, name: str, config: dict | None = None):
+        try:
+            import wandb
+
+            self.run = wandb.init(project=project, name=name,
+                                  config=config or {}, reinit=True)
+            self._wandb = wandb
+        except Exception:
+            self.run = None
+
+    def register(self, bus: CallbackBus) -> None:
+        if self.run is None:
+            return
+        bus.add("on_fit_epoch_end", self._on_epoch_end)
+        bus.add("on_train_end", self._on_train_end)
+
+    def _on_epoch_end(self, epoch: int = 0, row: dict | None = None, **_):
+        if row:
+            self.run.log({k: v for k, v in row.items()
+                          if isinstance(v, (int, float))}, step=epoch)
+
+    def _on_train_end(self, **_):
+        self.run.finish()
+
+
+class MLflowLogger:
+    """MLflow adapter (reference utils/callbacks/mlflow.py).
+
+    Import-guarded like WandBLogger; logs params once at train start and
+    metrics per epoch (sanitizing key characters mlflow rejects).
+    """
+
+    def __init__(self, experiment: str, run_name: str, tracking_uri: str | None = None):
+        try:
+            import mlflow
+
+            if tracking_uri:
+                mlflow.set_tracking_uri(tracking_uri)
+            mlflow.set_experiment(experiment)
+            self.run = mlflow.start_run(run_name=run_name)
+            self._mlflow = mlflow
+        except Exception:
+            self.run = None
+
+    @staticmethod
+    def _clean(k: str) -> str:
+        return "".join(c if (c.isalnum() or c in "_-./ ") else "_" for c in k)
+
+    def register(self, bus: CallbackBus) -> None:
+        if self.run is None:
+            return
+        bus.add("on_train_start", self._on_train_start)
+        bus.add("on_fit_epoch_end", self._on_epoch_end)
+        bus.add("on_train_end", self._on_train_end)
+
+    def _on_train_start(self, trainer=None, **_):
+        if trainer is not None:
+            import dataclasses
+
+            params = dataclasses.asdict(trainer.cfg.train)
+            self._mlflow.log_params({self._clean(k): str(v) for k, v in params.items()})
+
+    def _on_epoch_end(self, epoch: int = 0, row: dict | None = None, **_):
+        if row:
+            self._mlflow.log_metrics(
+                {self._clean(k): float(v) for k, v in row.items()
+                 if isinstance(v, (int, float))}, step=epoch)
+
+    def _on_train_end(self, **_):
+        self._mlflow.end_run()

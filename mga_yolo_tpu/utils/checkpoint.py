@@ -2,8 +2,8 @@
 
 Replaces the reference's dual checkpoint formats (pickle .pt +
 "minimal state-dict" .pt, SURVEY.md §5.4) with one canonical orbax format
-holding {params, batch_stats, ema_params, ema_batch_stats, momentum_buf,
-step} plus a JSON metadata sidecar, while keeping the reference's
+holding {params, batch_stats, ema_params, ema_batch_stats, opt_state,
+step/opt_step/last_apply} plus a JSON metadata sidecar, while keeping the reference's
 "rebuild model from YAML + state only" property
 (`/root/reference/mga_yolo/model/checkpoint.py:19-99`) including nc
 inference from metadata.
@@ -30,9 +30,11 @@ def save_checkpoint(path: str | Path, state, metadata: dict) -> None:
     path = Path(path).absolute()
     payload = {
         "step": np.asarray(state.step),
+        "opt_step": np.asarray(state.opt_step),
+        "last_apply": np.asarray(state.last_apply),
         "params": _to_numpy_tree(state.params),
         "batch_stats": _to_numpy_tree(state.batch_stats),
-        "momentum_buf": _to_numpy_tree(state.momentum_buf),
+        "opt_state": _to_numpy_tree(state.opt_state),
         "ema_params": _to_numpy_tree(state.ema_params),
         "ema_batch_stats": _to_numpy_tree(state.ema_batch_stats),
     }
@@ -48,9 +50,11 @@ def load_checkpoint(path: str | Path, state) -> Tuple[Any, dict]:
     path = Path(path).absolute()
     template = {
         "step": np.asarray(state.step),
+        "opt_step": np.asarray(state.opt_step),
+        "last_apply": np.asarray(state.last_apply),
         "params": _to_numpy_tree(state.params),
         "batch_stats": _to_numpy_tree(state.batch_stats),
-        "momentum_buf": _to_numpy_tree(state.momentum_buf),
+        "opt_state": _to_numpy_tree(state.opt_state),
         "ema_params": _to_numpy_tree(state.ema_params),
         "ema_batch_stats": _to_numpy_tree(state.ema_batch_stats),
     }
@@ -60,9 +64,11 @@ def load_checkpoint(path: str | Path, state) -> Tuple[Any, dict]:
     meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
     new_state = state.replace(
         step=restored["step"],
+        opt_step=restored["opt_step"],
+        last_apply=restored["last_apply"],
         params=restored["params"],
         batch_stats=restored["batch_stats"],
-        momentum_buf=restored["momentum_buf"],
+        opt_state=restored["opt_state"],
         ema_params=restored["ema_params"],
         ema_batch_stats=restored["ema_batch_stats"],
     )
@@ -70,7 +76,8 @@ def load_checkpoint(path: str | Path, state) -> Tuple[Any, dict]:
 
 
 def rebuild_from_checkpoint(path: str | Path, model_yaml: Optional[str] = None,
-                            scale: Optional[str] = None, prefer_ema: bool = True):
+                            scale: Optional[str] = None, prefer_ema: bool = True,
+                            tap_indices: tuple = ()):
     """Rebuild (model, variables, meta) from a checkpoint directory alone.
 
     Mirrors `rebuild_mga_model_from_minimal_ckpt`: the model graph is rebuilt
@@ -88,11 +95,25 @@ def rebuild_from_checkpoint(path: str | Path, model_yaml: Optional[str] = None,
     model_yaml = model_yaml or meta.get("model_yaml")
     scale = scale or meta.get("model_scale", "n")
     nc = meta.get("nc")
+    if model_yaml is not None and not Path(model_yaml).exists():
+        # metadata may record a path from another working directory; fall back
+        # to the YAML text embedded in metadata (ADVICE r1: relative
+        # model_yaml breaks mga-ckpt from other cwds)
+        yaml_text = meta.get("model_yaml_text")
+        if yaml_text:
+            import tempfile
+
+            tmp = Path(tempfile.mkstemp(suffix=".yaml")[1])
+            tmp.write_text(yaml_text)
+            model_yaml = str(tmp)
     if model_yaml is None:
         raise ValueError("model YAML unknown: pass model_yaml or keep metadata.json")
 
-    model, spec = create_model(model_yaml, scale=scale, nc=nc)
-    state = create_train_state(model, jax.random.PRNGKey(0), imgsz=int(meta.get("imgsz", 64)))
+    model, spec = create_model(model_yaml, scale=scale, nc=nc, tap_indices=tuple(tap_indices))
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), imgsz=int(meta.get("imgsz", 64)),
+        opt_name=meta.get("optimizer", "sgd"),
+    )
     state, _ = load_checkpoint(path, state)
     params = state.ema_params if prefer_ema else state.params
     variables = {"params": {k: v for k, v in params.items() if k != "mtl_log_vars"}}

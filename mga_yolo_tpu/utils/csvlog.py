@@ -31,6 +31,27 @@ class ResultsCSV:
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._header: list[str] | None = None
 
+    def truncate_after_epoch(self, start_epoch: int) -> None:
+        """Drop rows with epoch >= start_epoch + 1 (resume hygiene: no
+        duplicate epoch rows after a resume re-runs those epochs)."""
+        if not self.path.exists():
+            return
+        with open(self.path, newline="") as f:
+            rows = list(csv.reader(f))
+        if not rows:
+            return
+        header, body = rows[0], rows[1:]
+        try:
+            ei = header.index("epoch")
+        except ValueError:
+            return
+        kept = [r for r in body if r and float(r[ei]) <= start_epoch]
+        with open(self.path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(header)
+            w.writerows(kept)
+        self._header = header
+
     def append(self, row: Dict[str, float]) -> None:
         if self._header is None:
             extras = [k for k in row if k not in HEADER_ORDER]

@@ -57,14 +57,17 @@ def match_predictions(
     return correct
 
 
-def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
+def compute_ap(recall: np.ndarray, precision: np.ndarray, return_curve: bool = False):
     """COCO 101-point interpolated AP (reference metrics.py:727-757)."""
     mrec = np.concatenate(([0.0], recall, [1.0]))
     mpre = np.concatenate(([1.0], precision, [0.0]))
     mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
     x = np.linspace(0, 1, 101)
     trapz = np.trapezoid if hasattr(np, "trapezoid") else np.trapz
-    return float(trapz(np.interp(x, mrec, mpre), x))
+    ap = float(trapz(np.interp(x, mrec, mpre), x))
+    if return_curve:
+        return ap, mpre, mrec
+    return ap
 
 
 def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
@@ -86,6 +89,15 @@ class DetMetrics:
     ap_class: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros((0,)))
     ap50_per_class: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros((0,)))
     ap_per_class_: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros((0,)))
+    # per-class P/R at the max-F1 threshold (reference class_result)
+    p_per_class: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros((0,)))
+    r_per_class: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros((0,)))
+    # per-class GT counts + seen-image/pred stats for the results table
+    nt_per_class: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros((0,), int))
+    # confidence-axis curves for PR/F1/P/R plots (reference plot_pr_curve /
+    # plot_mc_curve inputs): px (1000,), py (nc, 101) precision-over-recall
+    # at IoU 0.5, and p/r/f1 (nc, 1000) over confidence
+    curves: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
 
     @property
     def fitness(self) -> float:
@@ -116,6 +128,8 @@ def ap_per_class(
     ap = np.zeros((nc, tp.shape[1]))
     p_curve = np.zeros((nc, 1000))
     r_curve = np.zeros((nc, 1000))
+    px101 = np.linspace(0, 1, 101)
+    py = np.zeros((nc, 101))  # precision over recall axis at IoU 0.5
     for ci, c in enumerate(unique_classes):
         sel = pred_cls == c
         n_l, n_p = nt[ci], int(sel.sum())
@@ -128,7 +142,11 @@ def ap_per_class(
         r_curve[ci] = np.interp(-x, -conf[sel], recall[:, 0], left=0)
         p_curve[ci] = np.interp(-x, -conf[sel], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
-            ap[ci, j] = compute_ap(recall[:, j], precision[:, j])
+            if j == 0:
+                ap[ci, j], mpre, mrec = compute_ap(recall[:, j], precision[:, j], return_curve=True)
+                py[ci] = np.interp(px101, mrec, mpre)
+            else:
+                ap[ci, j] = compute_ap(recall[:, j], precision[:, j])
 
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
     i = smooth(f1_curve.mean(0), 0.1).argmax()
@@ -141,6 +159,11 @@ def ap_per_class(
         ap_class=unique_classes.astype(int),
         ap50_per_class=ap[:, 0],
         ap_per_class_=ap.mean(1),
+        p_per_class=p,
+        r_per_class=r,
+        nt_per_class=nt.astype(int),
+        curves={"px": x, "py": py, "px101": px101,
+                "p": p_curve, "r": r_curve, "f1": f1_curve},
     )
 
 
@@ -218,6 +241,39 @@ class MetricAccumulator:
         self.conf.append(pred_conf)
         self.pred_cls.append(pred_cls)
         self.target_cls.append(true_cls)
+
+    def gather_across_hosts(self) -> None:
+        """All-gather raw stat arrays across jax processes (multi-host eval:
+        each host validates its shard of the val set, then stats are merged so
+        every host computes identical global metrics). No-op single-process.
+
+        Ragged per-host stat lengths are handled by padding to the global max
+        (process_allgather requires uniform shapes) and trimming by the
+        gathered true lengths.
+        """
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils as mh
+
+        def ragged_allgather(arr: np.ndarray) -> np.ndarray:
+            n = np.asarray([arr.shape[0]], np.int32)
+            lengths = np.asarray(mh.process_allgather(n)).reshape(-1)
+            max_n = int(lengths.max())
+            pad_shape = (max_n - arr.shape[0],) + arr.shape[1:]
+            padded = np.concatenate([arr, np.zeros(pad_shape, arr.dtype)], axis=0)
+            gathered = np.asarray(mh.process_allgather(padded))  # (P, max_n, ...)
+            return np.concatenate([gathered[p, : lengths[p]] for p in range(len(lengths))])
+
+        tp = np.concatenate(self.tp) if self.tp else np.zeros((0, len(IOUV)), bool)
+        conf = np.concatenate(self.conf) if self.conf else np.zeros((0,))
+        pred_cls = np.concatenate(self.pred_cls) if self.pred_cls else np.zeros((0,))
+        target_cls = np.concatenate(self.target_cls) if self.target_cls else np.zeros((0,))
+        self.tp = [ragged_allgather(tp.astype(np.uint8)).astype(bool)]
+        self.conf = [ragged_allgather(conf.astype(np.float32))]
+        self.pred_cls = [ragged_allgather(pred_cls.astype(np.float32))]
+        self.target_cls = [ragged_allgather(target_cls.astype(np.float32))]
 
     def compute(self) -> DetMetrics:
         if not self.tp:

@@ -20,6 +20,9 @@ from mga_yolo_tpu.utils.plotting.results import (
     mask_showcase,
     model_comparison,
     pareto_performance,
+    plot_confusion_matrix,
+    plot_mc_curve,
+    plot_pr_curve,
     plot_results,
 )
 
@@ -30,4 +33,7 @@ __all__ = [
     "mask_showcase",
     "feature_visualization",
     "gumbel_tau_sweep",
+    "plot_pr_curve",
+    "plot_mc_curve",
+    "plot_confusion_matrix",
 ]

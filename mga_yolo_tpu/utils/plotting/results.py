@@ -260,3 +260,84 @@ def mask_showcase(
     fig.savefig(save, dpi=180)
     plt.close(fig)
     return save
+
+
+# --------------------------------------------------------------------- val plots
+
+
+def plot_pr_curve(px, py, ap50, names: Dict[int, str], save: str | Path) -> Path:
+    """Precision-Recall curves per class + mean (reference metrics.py plot_pr_curve)."""
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    py = np.atleast_2d(py)
+    if 0 < len(names) == py.shape[0] < 21:
+        for i, y in enumerate(py):
+            ax.plot(px, y, linewidth=1, label=f"{names.get(i, i)} {ap50[i]:.3f}")
+    else:
+        ax.plot(px, py.T, linewidth=1, color="grey")
+    ax.plot(px, py.mean(0), linewidth=3, color="blue",
+            label=f"all classes {float(np.mean(ap50)):.3f} mAP@0.5")
+    ax.set_xlabel("Recall"); ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1); ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left", fontsize=8)
+    ax.set_title("Precision-Recall Curve")
+    out = Path(save)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out, dpi=180)
+    plt.close(fig)
+    return out
+
+
+def plot_mc_curve(px, py, names: Dict[int, str], save: str | Path,
+                  ylabel: str = "Metric") -> Path:
+    """Metric-confidence curves (F1/P/R vs conf; reference plot_mc_curve)."""
+    from mga_yolo_tpu.utils.metrics import smooth
+
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    py = np.atleast_2d(py)
+    if 0 < len(names) == py.shape[0] < 21:
+        for i, y in enumerate(py):
+            ax.plot(px, y, linewidth=1, label=str(names.get(i, i)))
+    else:
+        ax.plot(px, py.T, linewidth=1, color="grey")
+    y = smooth(py.mean(0), 0.05)
+    ax.plot(px, y, linewidth=3, color="blue",
+            label=f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}")
+    ax.set_xlabel("Confidence"); ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1); ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left", fontsize=8)
+    ax.set_title(f"{ylabel}-Confidence Curve")
+    out = Path(save)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out, dpi=180)
+    plt.close(fig)
+    return out
+
+
+def plot_confusion_matrix(matrix: np.ndarray, names: Dict[int, str],
+                          save: str | Path, normalize: bool = True) -> Path:
+    """Confusion-matrix heatmap (reference ConfusionMatrix.plot, metrics.py:313)."""
+    m = matrix.astype(float)
+    if normalize:
+        m = m / (m.sum(0, keepdims=True) + 1e-9)
+    nc = matrix.shape[0] - 1
+    labels = [str(names.get(i, i)) for i in range(nc)] + ["background"]
+    fig, ax = plt.subplots(1, 1, figsize=(max(6, nc), max(5, nc * 0.8)), tight_layout=True)
+    im = ax.imshow(m, cmap="Blues", vmin=0.0)
+    fig.colorbar(im, ax=ax, fraction=0.046)
+    ax.set_xticks(range(len(labels))); ax.set_xticklabels(labels, rotation=90, fontsize=8)
+    ax.set_yticks(range(len(labels))); ax.set_yticklabels(labels, fontsize=8)
+    ax.set_xlabel("True"); ax.set_ylabel("Predicted")
+    thresh = m.max() / 2 if m.size else 0.5
+    for i in range(m.shape[0]):
+        for j in range(m.shape[1]):
+            v = m[i, j]
+            if v > 0.005:
+                ax.text(j, i, f"{v:.2f}" if normalize else f"{int(matrix[i, j])}",
+                        ha="center", va="center", fontsize=7,
+                        color="white" if v > thresh else "black")
+    ax.set_title("Confusion Matrix" + (" (normalized)" if normalize else ""))
+    out = Path(save)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out, dpi=180)
+    plt.close(fig)
+    return out

@@ -66,3 +66,30 @@ def test_predict_cli(trained_run, tmp_path):
     masks = list((tmp_path / "pred").glob("*_mask_p3.png"))
     npzs = list((tmp_path / "pred").glob("*_masks.npz"))
     assert len(preds) == 4 and len(masks) == 4 and len(npzs) == 4
+
+
+def test_val_cli_plots_json(trained_run, tmp_path):
+    data_yaml, run_dir = trained_run
+    out = tmp_path / "valout"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "mga_yolo_tpu.cli.val",
+            "--weights", str(run_dir / "weights" / "best"),
+            "--data", str(data_yaml), "--batch", "2",
+            "--plots", "--save-json", "--out", str(out),
+        ],
+        capture_output=True, text=True, timeout=900, env=CPU_ENV,
+    )
+    assert proc.returncode == 0, proc.stdout[-1500:] + proc.stderr[-1500:]
+    # per-class table + metrics json on stdout
+    assert "Class" in proc.stdout and "mAP50" in proc.stdout
+    assert "metrics/mAP50(B)" in proc.stdout
+    # artifacts (reference detect/val.py:199-223,365)
+    assert (out / "confusion_matrix.png").exists()
+    assert (out / "confusion_matrix_normalized.png").exists()
+    assert (out / "PR_curve.png").exists()
+    assert (out / "F1_curve.png").exists()
+    preds = json.loads((out / "predictions.json").read_text())
+    assert isinstance(preds, list)
+    if preds:  # entries follow the COCO result schema
+        assert {"image_id", "category_id", "bbox", "score"} <= set(preds[0])

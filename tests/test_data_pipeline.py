@@ -198,3 +198,32 @@ def test_multiscale_buckets(synth_cfg):
             assert b["masks"][0].shape[1] == s // 8
             assert b["masks"][2].shape[1] == s // 32
     assert sizes == {64, 128}
+
+
+def test_mosaic3_shapes_and_alignment():
+    """mosaic3 (reference augment.py:596-662): 2s output, mask glued to image."""
+    rng = np.random.default_rng(1)
+    parts = [T.letterbox(_toy_sample(64), 64, center=False) for _ in range(3)]
+    out = T.mosaic3(parts, rng, 64)
+    assert out["img"].shape == (128, 128, 3)
+    assert out["mask"].shape == (128, 128)
+    assert len(out["boxes"]) >= 1
+    # the toy sample's bright square and its mask must coincide on the canvas
+    bright = (out["img"][..., 0] > 150).astype(np.uint8)
+    m = out["mask"]
+    assert m.sum() > 0
+    assert (bright & m).sum() / m.sum() > 0.9
+
+
+def test_albumentations_identity_without_dep():
+    """Import-guarded adapter: exact identity when the dep is missing
+    (this image has no albumentations), never an error."""
+    rng = np.random.default_rng(0)
+    s = _toy_sample(64)
+    out = T.albumentations(s, rng, p=1.0)
+    try:
+        import albumentations  # noqa: F401
+        # dep present: output is a valid image of the same shape
+        assert out["img"].shape == s["img"].shape
+    except ImportError:
+        np.testing.assert_array_equal(out["img"], s["img"])
