@@ -110,6 +110,7 @@ class TrainConfig:
     ema_decay: float = 0.9999
     ema_tau: int = 2000
     val: bool = True
+    save: bool = True              # write best/last checkpoints (reference `save`)
     save_period: int = -1
     project: str = "runs"
     name: str = "train"

@@ -66,25 +66,83 @@ def label_path_for(img_path: Path) -> Path:
     return Path(*parts).with_suffix(".txt")
 
 
-def load_yolo_labels(path: Path, w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
-    """YOLO txt (cls cx cy w h, normalized) -> (cls (N,), boxes (N,4) xyxy px)."""
+def parse_yolo_label_file(path: Path) -> np.ndarray:
+    """YOLO txt -> (N, 5) float32 rows [cls, cx, cy, w, h] (normalized)."""
     if not path.exists():
-        return np.zeros((0,), np.float32), np.zeros((0, 4), np.float32)
-    cls, boxes = [], []
+        return np.zeros((0, 5), np.float32)
+    rows = []
     for line in path.read_text().splitlines():
         vals = line.split()
-        if len(vals) < 5:
-            continue
-        c, cx, cy, bw, bh = (float(v) for v in vals[:5])
-        x1 = (cx - bw / 2) * w
-        y1 = (cy - bh / 2) * h
-        x2 = (cx + bw / 2) * w
-        y2 = (cy + bh / 2) * h
-        cls.append(c)
-        boxes.append((x1, y1, x2, y2))
-    if not cls:
+        if len(vals) >= 5:
+            rows.append([float(v) for v in vals[:5]])
+    return np.asarray(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+
+
+def rows_to_labels(rows: np.ndarray, w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+    """(N,5) normalized rows -> (cls (N,), boxes (N,4) xyxy px)."""
+    if not len(rows):
         return np.zeros((0,), np.float32), np.zeros((0, 4), np.float32)
-    return np.asarray(cls, np.float32), np.asarray(boxes, np.float32)
+    cls = rows[:, 0].astype(np.float32)
+    cx, cy, bw, bh = rows[:, 1] * w, rows[:, 2] * h, rows[:, 3] * w, rows[:, 4] * h
+    boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], -1)
+    return cls, boxes.astype(np.float32)
+
+
+def load_yolo_labels(path: Path, w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+    """YOLO txt (cls cx cy w h, normalized) -> (cls (N,), boxes (N,4) xyxy px)."""
+    return rows_to_labels(parse_yolo_label_file(path), w, h)
+
+
+LABEL_CACHE_VERSION = 1
+
+
+def load_labels_cached(img_files: list[Path], split: str) -> list[np.ndarray]:
+    """Parse all label files once, memoized on disk (reference label cache,
+    `data/dataset.py:49-318`: a versioned cache file keyed by a hash of the
+    label set, so labels are not re-parsed every epoch/process).
+
+    The cache lives next to the first label file as
+    ``.mga_labels_{split}.cache.npz``; any mtime/size/path change of any
+    label file invalidates it. IO failures fall back to direct parsing.
+    """
+    import hashlib
+
+    lbl_paths = [label_path_for(p) for p in img_files]
+    if not lbl_paths:
+        return []
+    h = hashlib.sha1(f"v{LABEL_CACHE_VERSION}".encode())
+    for p in lbl_paths:
+        st = p.stat() if p.exists() else None
+        h.update(str(p).encode())
+        h.update(str(st.st_mtime_ns if st else 0).encode())
+        h.update(str(st.st_size if st else -1).encode())
+    key = h.hexdigest()
+    cache_path = lbl_paths[0].parent / f".mga_labels_{split}.cache.npz"
+
+    try:
+        if cache_path.exists():
+            z = np.load(cache_path, allow_pickle=False)
+            if str(z["key"]) == key:
+                flat, lengths = z["flat"], z["lengths"]
+                out, off = [], 0
+                for n in lengths:
+                    out.append(flat[off : off + n].reshape(n, 5))
+                    off += n
+                return out
+    except Exception:
+        pass
+
+    labels = [parse_yolo_label_file(p) for p in lbl_paths]
+    try:
+        flat = (
+            np.concatenate([l.reshape(-1) for l in labels])
+            if labels else np.zeros((0,), np.float32)
+        )
+        lengths = np.asarray([len(l) for l in labels], np.int64)
+        np.savez(cache_path, key=key, flat=flat.astype(np.float32), lengths=lengths)
+    except Exception:
+        pass  # read-only label dir: parse-per-init still works
+    return labels
 
 
 class MGADataset:
@@ -111,6 +169,8 @@ class MGADataset:
         self.mask_paths = [
             mask_ops.infer_mask_path(p, self.dataset_root, self.masks_dir) for p in self.img_files
         ]
+        # on-disk label cache: all label txts parsed once per label-set hash
+        self._labels = load_labels_cached(self.img_files, split)
         self._cache: dict[int, tuple] = {}
         self._aug_dumped = 0
 
@@ -129,7 +189,7 @@ class MGADataset:
         if img is None:
             raise FileNotFoundError(path)
         h, w = img.shape[:2]
-        cls, boxes = load_yolo_labels(label_path_for(path), w, h)
+        cls, boxes = rows_to_labels(self._labels[i], w, h)
         if self.cfg.data.single_cls:
             cls = np.zeros_like(cls)
         mask = None

@@ -344,7 +344,10 @@ class MGATrainer:
             "imgsz": self.cfg.data.imgsz,
             "date": time.strftime("%Y-%m-%d %H:%M:%S"),
         }
-        ckpt_util.save_checkpoint(self.save_dir / "weights" / name, self.state, meta)
+        # async: D2H + disk write overlap the next epoch (the tunnel makes
+        # synchronous ~100MB state saves cost tens of seconds per epoch)
+        ckpt_util.save_checkpoint(self.save_dir / "weights" / name, self.state, meta,
+                                  async_save=True)
 
     def _try_resume(self) -> None:
         last = self.save_dir / "weights" / "last"
@@ -444,9 +447,9 @@ class MGATrainer:
 
             if fitness >= self.best_fitness:
                 self.best_fitness = fitness
-                if self.host_id == 0:
+                if self.host_id == 0 and t.save:
                     self.save_checkpoint("best", epoch, fitness)
-            if self.host_id == 0:
+            if self.host_id == 0 and t.save:
                 self.save_checkpoint("last", epoch, fitness)
                 self.callbacks.fire("on_model_save", trainer=self, epoch=epoch)
                 if t.save_period > 0 and (epoch + 1) % t.save_period == 0:
@@ -464,6 +467,7 @@ class MGATrainer:
                 print(f"[MGA] early stopping at epoch {epoch + 1} (patience {t.patience})")
                 break
 
+        ckpt_util.wait_for_saves()  # commit in-flight async checkpoint saves
         self.callbacks.fire("on_train_end", trainer=self)
 
         # final eval on the in-memory EMA (reference trainer.py:417-433), with

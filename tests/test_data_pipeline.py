@@ -227,3 +227,24 @@ def test_albumentations_identity_without_dep():
         assert out["img"].shape == s["img"].shape
     except ImportError:
         np.testing.assert_array_equal(out["img"], s["img"])
+
+
+def test_label_cache_roundtrip(tmp_path):
+    """On-disk label cache (reference data/dataset.py:49-318): second load
+    hits the cache file; label edits invalidate it."""
+    from mga_yolo_tpu.data import dataset as D
+
+    data_yaml = create_synthetic_dataset(tmp_path, n=3, size=64)
+    cfg = load_config({"data": str(data_yaml), "imgsz": 64, "max_boxes": 4})
+    ds1 = MGADataset(cfg, "train", augment=False)
+    cache_files = list((tmp_path / "labels" / "train").glob(".mga_labels_*.cache.npz"))
+    assert len(cache_files) == 1
+    labels_direct = [D.parse_yolo_label_file(D.label_path_for(p)) for p in ds1.img_files]
+    ds2 = MGADataset(cfg, "train", augment=False)  # loads from cache
+    for a, b in zip(ds2._labels, labels_direct):
+        np.testing.assert_array_equal(a, b)
+    # invalidation: rewrite one label file -> cache rebuilt with new content
+    lp = D.label_path_for(ds1.img_files[0])
+    lp.write_text("0 0.5 0.5 0.25 0.25\n")
+    ds3 = MGADataset(cfg, "train", augment=False)
+    np.testing.assert_allclose(ds3._labels[0], [[0, 0.5, 0.5, 0.25, 0.25]])

@@ -128,6 +128,7 @@ def run_ours(data_yaml: Path, out_dir: Path, epochs: int, imgsz: int, batch: int
             model="configs/models/yolov8_cbam.yaml", model_scale="n",
             workers=2, project=str(out_dir), name="ours", exist_ok=True,
             patience=10_000, plots=False,
+            save=False,  # skip per-epoch orbax saves (slow over the TPU tunnel)
         )
     )
     t0 = time.time()
