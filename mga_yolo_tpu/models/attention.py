@@ -261,10 +261,11 @@ class MaskSPADE(nn.Module):
         self, feat: jax.Array, mask: Optional[jax.Array] = None, train: bool = False
     ) -> jax.Array:
         if self.norm_type == "bn":
+            # reference initialize_weights overrides BN to eps 1e-3, m 0.03
             x_hat = nn.BatchNorm(
                 use_running_average=not train,
-                momentum=0.9,
-                epsilon=self.eps,
+                momentum=0.97,
+                epsilon=1e-3,
                 use_bias=False,
                 use_scale=False,
                 name="norm",

@@ -35,7 +35,8 @@ class MGAMaskHead(nn.Module):
         y = nn.Conv(
             self.hidden, (1, 1), use_bias=False, kernel_init=kaiming_out, name="proj"
         )(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(y)
+        # BN eps/momentum follow the reference initialize_weights (1e-3, 0.03)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, name="bn")(y)
         y = nn.silu(y)
         if self.dropout > 0 and train:
             y = nn.Dropout(rate=self.dropout, deterministic=not train)(y)

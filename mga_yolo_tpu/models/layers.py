@@ -66,8 +66,10 @@ class ConvBN(nn.Module):
             use_bias=False,
             name="conv",
         )(x)
+        # reference initialize_weights sets BN eps=1e-3, momentum=0.03 on every
+        # BatchNorm2d (torch_utils.py:570-572); flax momentum = 1 - torch
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.97, epsilon=1e-3, name="bn"
         )(x)
         return nn.silu(x) if self.act else x
 

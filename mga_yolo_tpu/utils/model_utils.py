@@ -24,7 +24,7 @@ import numpy as np
 from mga_yolo_tpu.graph import GraphSpec
 
 
-def _fold_one(conv_bn: dict, stats: dict, eps: float = 1e-5) -> tuple[dict, dict]:
+def _fold_one(conv_bn: dict, stats: dict, eps: float = 1e-3) -> tuple[dict, dict]:
     """Fold one {conv:{kernel}, bn:{scale,bias}} + stats{bn:{mean,var}} pair."""
     kernel = conv_bn["conv"]["kernel"]
     scale = conv_bn["bn"]["scale"]
