@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mga_yolo_tpu.models.layers import kaiming_out, resize_bilinear
+from mga_yolo_tpu.models.layers import kaiming_out, resize_bilinear, torch_bias_init, torch_default
 
 
 def _sigmoid_mask(mask: jax.Array, use_sigmoid: bool) -> jax.Array:
@@ -160,8 +160,15 @@ class MaskCBAM(nn.Module):
             else:
                 avg = jnp.mean(feat, axis=(1, 2))
                 mx = jnp.max(feat, axis=(1, 2))
+            # reference MLP = nn.Linear pair with torch default init (:55-57)
             mlp = nn.Sequential(
-                [nn.Dense(hidden, name="cam_fc1"), nn.relu, nn.Dense(C, name="cam_fc2")]
+                [
+                    nn.Dense(hidden, kernel_init=torch_default,
+                             bias_init=torch_bias_init(C), name="cam_fc1"),
+                    nn.relu,
+                    nn.Dense(C, kernel_init=torch_default,
+                             bias_init=torch_bias_init(hidden), name="cam_fc2"),
+                ]
             )
             y = jax.nn.sigmoid(mlp(avg) + mlp(mx)).astype(feat.dtype)  # (B,C)
         cam_out = feat * y[:, None, None, :]
@@ -177,7 +184,8 @@ class MaskCBAM(nn.Module):
             m_plane = _sigmoid_mask(m_plane, self.use_sigmoid_mask).astype(feat.dtype)
         k = self.spatial_k if self.spatial_k % 2 == 1 else self.spatial_k + 1
         att = nn.Conv(
-            1, (k, k), padding=((k // 2, k // 2), (k // 2, k // 2)), use_bias=False, name="sam_conv"
+            1, (k, k), padding=((k // 2, k // 2), (k // 2, k // 2)), use_bias=False,
+            kernel_init=torch_default, name="sam_conv"
         )(jnp.concatenate([x_max, x_avg, m_plane], axis=-1))
         sam_out = cam_out * jax.nn.sigmoid(att).astype(feat.dtype)
 
@@ -233,7 +241,8 @@ class MaskECA(nn.Module):
         k = eca_kernel_size(C, self.gamma, self.b, self.k_min, self.k_max)
         # 1D conv over the channel axis: treat C as the spatial dim.
         w = jax.nn.sigmoid(
-            nn.Conv(1, (k,), padding=((k // 2, k // 2),), use_bias=False, name="conv1d")(
+            nn.Conv(1, (k,), padding=((k // 2, k // 2),), use_bias=False,
+                    kernel_init=torch_default, name="conv1d")(
                 y[:, :, None]
             ).squeeze(-1)
         )  # (B,C)

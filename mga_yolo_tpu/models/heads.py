@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mga_yolo_tpu.models.layers import ConvBN, DWConv, kaiming_out
+from mga_yolo_tpu.models.layers import ConvBN, DWConv, kaiming_out, torch_default
 from mga_yolo_tpu.ops.boxes import dist2bbox, make_anchors
 
 
@@ -91,6 +91,7 @@ class Detect(nn.Module):
             4 * self.reg_max,
             (1, 1),
             use_bias=True,
+            kernel_init=torch_default,
             bias_init=nn.initializers.constant(1.0),  # reference bias_init head.py:187
             name=f"cv2_{lvl}_2",
         )(y)
@@ -111,6 +112,7 @@ class Detect(nn.Module):
             self.nc,
             (1, 1),
             use_bias=True,
+            kernel_init=torch_default,
             bias_init=nn.initializers.constant(cls_bias),
             name=f"cv3_{lvl}_2",
         )(y)

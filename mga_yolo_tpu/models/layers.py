@@ -24,6 +24,24 @@ from flax import linen as nn
 # Kaiming-normal (fan_out) — used by the reference mask head / SPADE init
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
+# torch's default Conv2d/Linear init, which the reference keeps for every
+# backbone/neck/head conv (initialize_weights leaves Conv2d untouched,
+# reference torch_utils.py:564-574): kaiming_uniform(a=sqrt(5)) ==
+# U(-1/sqrt(fan_in), +1/sqrt(fan_in)), i.e. variance 1/(3*fan_in) — 3x
+# tighter than flax's lecun_normal default. Matching the init distribution
+# matters for training-parity with the reference (BASELINE.md mAP50-95 gap).
+torch_default = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    """torch's default bias init: U(-1/sqrt(fan_in), +1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
 
 def autopad(k: int, p: int | None = None, d: int = 1) -> int:
     """'Same'-shape padding, matching reference conv.py:29."""
@@ -64,6 +82,7 @@ class ConvBN(nn.Module):
             feature_group_count=self.g,
             kernel_dilation=(self.d, self.d),
             use_bias=False,
+            kernel_init=torch_default,
             name="conv",
         )(x)
         # reference initialize_weights sets BN eps=1e-3, momentum=0.03 on every

@@ -437,8 +437,16 @@ class MGATrainer:
             row["mtl/sigma2_seg"] = float(np.exp(lv[1]))
             row["mtl/w_det"] = float(np.exp(-lv[0]))
             row["mtl/w_seg"] = float(np.exp(-lv[1]))
-            row.update(self._collect_alpha_params())
+            alpha = self._collect_alpha_params()
+            row.update(alpha)
             row.update(self._collect_spade_stats())
+            # SEG/ATT diagnostic loggers (reference nn/modules/__init__.py:1-23)
+            from mga_yolo_tpu.models import ATT_LOGGER, SEG_LOGGER
+
+            SEG_LOGGER.debug("epoch %d seg_total=%.4f", epoch + 1,
+                             row.get("train/seg/total", 0.0))
+            if alpha:
+                ATT_LOGGER.debug("epoch %d gates %s", epoch + 1, alpha)
             row["lr"] = self.schedule.at(self._host_step)[0]
             row["time"] = epoch_time
             if self.host_id == 0:
