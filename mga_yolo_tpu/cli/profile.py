@@ -24,6 +24,11 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     import jax
+
+    # HLO-level cost analysis is platform-independent but only available
+    # pre-compile on the CPU backend (the axon/TPU tunnel returns None until
+    # the remote compile finishes) — force CPU: zero device work needed.
+    jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from mga_yolo_tpu.models.yolo import create_model
