@@ -18,6 +18,15 @@ def main(argv=None) -> None:
     load.add_argument("path")
     load.add_argument("--model", default=None, help="model YAML override")
     load.add_argument("--scale", default=None)
+    exp = sub.add_parser(
+        "export-torch",
+        help="export to the torch reference's minimal .pt checkpoint "
+        "(gateway to its ONNX/TFLite deployment toolchain)",
+    )
+    exp.add_argument("path")
+    exp.add_argument("out", help="output .pt path")
+    exp.add_argument("--model", default=None, help="model YAML override")
+    exp.add_argument("--scale", default=None)
     args = p.parse_args(argv)
 
     import jax
@@ -26,6 +35,16 @@ def main(argv=None) -> None:
     from mga_yolo_tpu.utils.checkpoint import rebuild_from_checkpoint
 
     model, variables, meta = rebuild_from_checkpoint(args.path, args.model, args.scale)
+    if args.cmd == "export-torch":
+        from mga_yolo_tpu.utils.torch_export import save_reference_checkpoint
+
+        save_reference_checkpoint(
+            variables, model.spec, args.out, nc=int(meta.get("nc", 1)),
+            model_yaml=meta.get("model_yaml"), is_ema=True,
+        )
+        n = len(jax.tree_util.tree_leaves(variables["params"]))
+        print(f"[mga-ckpt] exported {n} tensors -> {args.out} (reference minimal-ckpt format, EMA weights)")
+        return
     leaves = jax.tree_util.tree_leaves(variables["params"])
     n_params = sum(int(np.prod(l.shape)) for l in leaves)
     print(f"model:  {meta.get('model_yaml')} scale={meta.get('model_scale')}")

@@ -74,3 +74,10 @@ def setup_reference_paths():
     # making `import ultralytics` resolve to the same module objects the
     # reference uses (avoids a duplicate package + circular imports).
     import mga_yolo  # noqa: F401
+
+    # Prime the vendored ultralytics' FULL import chain before anything touches
+    # mga_yolo.model.*: entering the reference's model<->trainer<->ultralytics
+    # import cycle from mga_yolo.model first dies with "partially initialized
+    # module 'mga_yolo.model.trainer'"; entering from ultralytics completes
+    # (its yolo/__init__ imports detect before model.py needs MGATrainer).
+    from mga_yolo.external.ultralytics import ultralytics  # noqa: F401
