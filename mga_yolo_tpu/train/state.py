@@ -304,15 +304,22 @@ def host_local_to_global(batch: dict, mesh: Mesh):
     """
     import numpy as np
 
-    _, data_sh = shard_batch_specs(mesh)
-    if jax.process_count() == 1:
-        to_global = lambda x: jax.device_put(x, data_sh)
-    else:
-        to_global = lambda x: jax.make_array_from_process_local_data(data_sh, np.asarray(x))
+    specs = _batch_shardings(mesh)
+    _, default_sh = shard_batch_specs(mesh)
+
+    def to_global(x, sh):
+        if jax.process_count() == 1:
+            return jax.device_put(x, sh)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
     out = {}
     for k, v in batch.items():
-        out[k] = [to_global(x) for x in v] if isinstance(v, list) else to_global(v)
+        sh = specs.get(k, default_sh)
+        if isinstance(v, list):
+            shs = sh if isinstance(sh, list) else [sh] * len(v)
+            out[k] = [to_global(x, s) for x, s in zip(v, shs)]
+        else:
+            out[k] = to_global(v, sh if not isinstance(sh, list) else sh[0])
     return out
 
 
@@ -342,27 +349,59 @@ def prefetch_to_device(iterator, mesh: Mesh, depth: int = 2):
             pass
 
 
-def data_mesh(devices=None) -> Mesh:
+def data_mesh(devices=None, spatial: int = 1) -> Mesh:
+    """Device mesh for SPMD training.
+
+    ``spatial=1``: pure data parallelism — ``Mesh((n,), ('data',))``.
+    ``spatial=k``: 2-D DP×SP mesh ``Mesh((n//k, k), ('data', 'space'))``:
+    the batch is sharded over ``data`` and the image HEIGHT over ``space``.
+    Under ``jit`` XLA's GSPMD partitioner inserts the conv halo exchanges
+    (ring ``ppermute`` of kernel-overlap rows over ICI) automatically — the
+    TPU-native equivalent of hand-written spatial-partition comm. Useful when
+    per-chip batch is memory-bound at large imgsz (reference has no analogue;
+    DDP can only split the batch).
+    """
     import numpy as np
 
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), ("data",))
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if spatial <= 1:
+        return Mesh(devices, ("data",))
+    if devices.size % spatial:
+        raise ValueError(f"{devices.size} devices not divisible by spatial={spatial}")
+    return Mesh(devices.reshape(devices.size // spatial, spatial), ("data", "space"))
 
 
 def shard_batch_specs(mesh: Mesh):
-    """(replicated_spec, batch_sharded_spec) NamedShardings."""
+    """(replicated_spec, batch_sharded_spec) NamedShardings.
+
+    On a DP×SP mesh the batch-sharded spec also splits the row axis (axis 1,
+    NHWC) over ``space``; rank<2 leaves (labels, mask_gt weights) only shard
+    the batch axis — see :func:`_batch_shardings`.
+    """
+    if "space" in mesh.axis_names:
+        return NamedSharding(mesh, P()), NamedSharding(mesh, P("data", "space"))
     return NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
 
 
-def jit_train_step(train_step, mesh: Mesh):
-    repl, data_sh = shard_batch_specs(mesh)
-    batch_shardings = {
-        "image": data_sh,
-        "gt_boxes": data_sh,
-        "gt_labels": data_sh,
-        "mask_gt": data_sh,
-        "masks": [data_sh, data_sh, data_sh],
+def _batch_shardings(mesh: Mesh):
+    """Per-key input shardings for a train/eval batch on this mesh."""
+    if "space" in mesh.axis_names:
+        img = NamedSharding(mesh, P("data", "space"))      # NHWC rows over space
+        vec = NamedSharding(mesh, P("data"))               # per-image vectors
+    else:
+        img = vec = NamedSharding(mesh, P("data"))
+    return {
+        "image": img,
+        "gt_boxes": vec,
+        "gt_labels": vec,
+        "mask_gt": vec,
+        "masks": [img, img, img],
     }
+
+
+def jit_train_step(train_step, mesh: Mesh):
+    repl, _ = shard_batch_specs(mesh)
+    batch_shardings = _batch_shardings(mesh)
     return jax.jit(
         train_step,
         in_shardings=(repl, batch_shardings, None, None, None, None),
@@ -372,12 +411,6 @@ def jit_train_step(train_step, mesh: Mesh):
 
 
 def jit_eval_step(eval_step, mesh: Mesh):
-    repl, data_sh = shard_batch_specs(mesh)
-    batch_shardings = {
-        "image": data_sh,
-        "gt_boxes": data_sh,
-        "gt_labels": data_sh,
-        "mask_gt": data_sh,
-        "masks": [data_sh, data_sh, data_sh],
-    }
+    repl, _ = shard_batch_specs(mesh)
+    batch_shardings = _batch_shardings(mesh)
     return jax.jit(eval_step, in_shardings=(repl, batch_shardings), out_shardings=repl)

@@ -105,7 +105,11 @@ class MGATrainer:
         if t.batch % n_dev != 0:
             n_dev = math.gcd(t.batch, n_dev)
             devices = devices[:n_dev]
-        self.mesh = S.data_mesh(devices)
+        # optional DP x SP mesh (`mesh_spatial: k` cfg key): shard image rows
+        # over a second mesh axis; XLA inserts conv halo exchanges (see
+        # state.data_mesh). Batch division above applies to the DP axis only.
+        spatial = int(self.cfg.extra.get("mesh_spatial", 1) or 1)
+        self.mesh = S.data_mesh(devices, spatial=spatial)
         # `deterministic` note: this framework is deterministic by
         # construction (seeded rngs, no atomics); the key is accepted for
         # reference-YAML compatibility and False has no effect.
