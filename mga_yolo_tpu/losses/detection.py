@@ -101,8 +101,13 @@ def task_aligned_assigner(
     target_gt_idx = mask_pos.argmax(-2)  # (B,A)
 
     # ---- gather targets ----
-    tb = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # (B,A,4)
-    tl = jnp.take_along_axis(gt_labels, target_gt_idx, axis=1)  # (B,A)
+    # one-hot einsum instead of take_along_axis: batched gathers lower poorly
+    # on TPU (cf. the 50x dfl_loss gather cost, bench_loss_parts.py); M is
+    # tiny so the (B,A,M) selection matmul is effectively free and exact
+    # (one 1.0 per row, finite operands).
+    sel = jax.nn.one_hot(target_gt_idx, M, dtype=pd_scores.dtype)  # (B,A,M)
+    tb = jnp.einsum("bam,bmf->baf", sel, gt_bboxes)  # (B,A,4)
+    tl = jnp.einsum("bam,bm->ba", sel, gt_labels.astype(pd_scores.dtype)).astype(jnp.int32)
     target_scores = jax.nn.one_hot(tl, nc, dtype=pd_scores.dtype) * fg_mask[..., None]
 
     # ---- normalize by per-gt best alignment (reference tal.py:120-125) ----
@@ -135,8 +140,16 @@ def dfl_loss(pred_dist: jax.Array, target: jax.Array, reg_max: int) -> jax.Array
     wl = tr.astype(target.dtype) - target
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
-    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1).squeeze(-1)
-    ce_r = -jnp.take_along_axis(logp, jnp.minimum(tr, reg_max - 1)[..., None], axis=-1).squeeze(-1)
+    # select the tl/tr bins with a broadcast-compare + where + sum instead of
+    # take_along_axis: a gather on a 16-wide minor dim lowers to scalar loads
+    # on TPU and measured 75.8 ms at (64, 8400, 4, 16) vs 1.5 ms for the
+    # vectorized select (tools/scripts/bench_loss_parts.py). where+sum (not
+    # one_hot multiply) keeps bit-exact selection semantics: no 0*(-inf).
+    idx = jnp.arange(reg_max, dtype=jnp.int32)
+    ce_l = -jnp.sum(jnp.where(idx == tl[..., None], logp, 0), axis=-1)
+    ce_r = -jnp.sum(
+        jnp.where(idx == jnp.minimum(tr, reg_max - 1)[..., None], logp, 0), axis=-1
+    )
     return (ce_l * wl + ce_r * wr).mean(-1)
 
 

@@ -105,7 +105,47 @@ def main() -> None:
         total, _ = segmentation_loss(logits, seg_masks, scfg)
         return total
 
+    from mga_yolo_tpu.losses.detection import dfl_loss, flatten_det_maps
+    from mga_yolo_tpu.ops.boxes import bbox2dist, dist2bbox
+
+    @jax.jit
+    def f_decode(det_maps, salt=0.0):
+        pred_distri, pred_scores = flatten_det_maps([m + salt for m in det_maps], REG, NC)
+        pd = pred_distri.reshape(B, A, 4, REG)
+        proj = jnp.arange(REG, dtype=jnp.float32)
+        ltrb = (jax.nn.softmax(pd, axis=-1) * proj).sum(-1)
+        return dist2bbox(ltrb, anc[None], xywh=False).sum()
+
+    tgt_ltrb = jnp.asarray(rng.random((B, A, 4)) * (REG - 1), jnp.float32)
+    pd_logits = jnp.asarray(rng.random((B, A, 4, REG)), jnp.float32)
+
+    @jax.jit
+    def f_dfl(pd_logits, tgt_ltrb, salt=0.0):
+        return dfl_loss(pd_logits + salt, tgt_ltrb, REG).sum()
+
+    @jax.jit
+    def f_dfl_onehot(pd_logits, tgt_ltrb, salt=0.0):
+        target = jnp.clip(tgt_ltrb + salt, 0, REG - 1 - 0.01)
+        tl = target.astype(jnp.int32)
+        tr = jnp.minimum(tl + 1, REG - 1)
+        wl = (tl + 1).astype(target.dtype) - target
+        wr = 1.0 - wl
+        logp = jax.nn.log_softmax(pd_logits, axis=-1)
+        ce_l = -(logp * jax.nn.one_hot(tl, REG, dtype=logp.dtype)).sum(-1)
+        ce_r = -(logp * jax.nn.one_hot(tr, REG, dtype=logp.dtype)).sum(-1)
+        return ((ce_l * wl + ce_r * wr).mean(-1)).sum()
+
+    @jax.jit
+    def f_bbox2dist(gt_boxes_bc, salt=0.0):
+        return bbox2dist(anc[None], gt_boxes_bc + salt, REG - 1).sum()
+
+    tb_feat = jnp.asarray(rng.random((B, A, 4)) * 80, jnp.float32)
+
     out = {"batch": B, "A": A}
+    out["decode_ms"] = round(timeit(f_decode, det_maps) * 1e3, 2)
+    out["dfl_ms"] = round(timeit(f_dfl, pd_logits, tgt_ltrb) * 1e3, 2)
+    out["dfl_onehot_ms"] = round(timeit(f_dfl_onehot, pd_logits, tgt_ltrb) * 1e3, 2)
+    out["bbox2dist_ms"] = round(timeit(f_bbox2dist, tb_feat) * 1e3, 2)
     out["topk_ms"] = round(timeit(f_topk, metric) * 1e3, 2)
     out["ciou_pairwise_ms"] = round(timeit(f_ciou, gt_boxes, pd_boxes) * 1e3, 2)
     out["assigner_ms"] = round(
