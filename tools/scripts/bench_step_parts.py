@@ -31,7 +31,7 @@ def main() -> None:
     from tools.scripts.bench_train import make_batch
 
     cfg = load_config({})
-    model, spec = create_model("configs/models/yolov8_cbam.yaml", scale="n", nc=1, use_pallas=True)
+    model, spec = create_model("configs/models/yolov8_cbam.yaml", scale="n", nc=1, use_pallas=os.environ.get("MGA_BENCH_PALLAS", "1") == "1")
     st = S.create_train_state(model, jax.random.PRNGKey(0), imgsz=256)
     mesh = S.data_mesh(jax.devices()[:1])
     dcfg, scfg = det_loss_config(cfg), seg_loss_config(cfg)

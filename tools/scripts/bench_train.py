@@ -13,6 +13,7 @@ Prints one JSON line per batch size with img/s, step ms, and estimated MFU
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -50,7 +51,7 @@ def main() -> None:
     from mga_yolo_tpu.train import state as S
 
     cfg = load_config({})
-    model, spec = create_model("configs/models/yolov8_cbam.yaml", scale="n", nc=1, use_pallas=True)
+    model, spec = create_model("configs/models/yolov8_cbam.yaml", scale="n", nc=1, use_pallas=os.environ.get("MGA_BENCH_PALLAS", "1") == "1")
     st = S.create_train_state(model, jax.random.PRNGKey(0), imgsz=256)
     mesh = S.data_mesh(jax.devices()[:1])
     step_fn = S.jit_train_step(
