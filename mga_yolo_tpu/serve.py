@@ -115,21 +115,33 @@ class InferenceEngine:
         )
         return lb["img"], (img.shape[:2], lb["ratio_pad"])
 
-    def infer_batch(self, imgs: List[np.ndarray], metas: List) -> List[Prediction]:
-        """imgs: letterboxed uint8 HWC arrays (<= batch). Returns per-image preds."""
-        from mga_yolo_tpu.train.predictor import scale_boxes
+    def dispatch_batch(self, imgs: List[np.ndarray]):
+        """Asynchronously dispatch one device batch; returns opaque handles.
 
+        jax dispatch is async — this returns as soon as the program is
+        enqueued, so the caller can pipeline further batches while results
+        are in flight (essential when device->host fetch latency is high,
+        e.g. a remote-TPU tunnel: throughput becomes pipelined-bandwidth
+        bound instead of round-trip bound).
+        """
         n = len(imgs)
         if n < self.batch:
             imgs = imgs + [imgs[-1]] * (self.batch - n)
         x = np.stack(imgs)
         t0 = time.perf_counter()
         dets, seg = self._forward(self._v, x)
+        return (dets, seg, t0)
+
+    def finalize_batch(self, handles, metas: List) -> List[Prediction]:
+        """Materialize device results host-side and rescale per request."""
+        from mga_yolo_tpu.train.predictor import scale_boxes
+
+        dets, seg, t0 = handles
         dets = np.asarray(dets, np.float32)
         seg_np = {k: np.asarray(v, np.float32) for k, v in seg.items()}
         dt = (time.perf_counter() - t0) * 1e3
         out = []
-        for i in range(n):
+        for i in range(len(metas)):
             orig_shape, ratio_pad = metas[i]
             d = dets[i]
             d = d[d[:, 4] > 0]  # drop padded slots (nms_jax zero-fills)
@@ -141,6 +153,10 @@ class InferenceEngine:
             )
             out.append(Prediction(boxes, orig_shape, masks, dt))
         return out
+
+    def infer_batch(self, imgs: List[np.ndarray], metas: List) -> List[Prediction]:
+        """imgs: letterboxed uint8 HWC arrays (<= batch). Returns per-image preds."""
+        return self.finalize_batch(self.dispatch_batch(imgs), metas)
 
 
 # --------------------------------------------------------------- micro-batcher
@@ -156,25 +172,35 @@ class _Request:
 
 
 class MicroBatcher:
-    """Coalesce concurrent requests into fixed-size device batches.
+    """Coalesce concurrent requests into fixed-size device batches, with a
+    pipelined dispatch/fetch split.
 
-    One dispatcher thread owns the engine. A request waits at most
-    ``max_wait_ms`` for the batch to fill; a full batch goes immediately.
+    One dispatcher thread owns device dispatch; a separate completion thread
+    materializes results. Because jax dispatch is async, up to ``depth``
+    batches are in flight at once — the device never idles waiting for a
+    host fetch, and throughput is bound by compute/transfer bandwidth
+    instead of the device->host round-trip latency (which dominates on a
+    remote-TPU tunnel). A request waits at most ``max_wait_ms`` for its
+    batch to fill; a full batch goes immediately.
     """
 
-    def __init__(self, engine: InferenceEngine, max_wait_ms: float = 5.0):
+    def __init__(self, engine: InferenceEngine, max_wait_ms: float = 5.0, depth: int = 4):
         self.engine = engine
         self.max_wait = max_wait_ms / 1e3
         self._q: "queue.Queue[_Request]" = queue.Queue()
+        # bounded: backpressure keeps at most `depth` batches in flight
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._stop = threading.Event()
-        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._completer = threading.Thread(target=self._complete_loop, daemon=True)
         self._lock = threading.Lock()
         self.n_requests = 0
         self.n_batches = 0
         self._latencies: List[float] = []
-        self._worker.start()
+        self._dispatcher.start()
+        self._completer.start()
 
-    def _loop(self) -> None:
+    def _dispatch_loop(self) -> None:
         B = self.engine.batch
         while not self._stop.is_set():
             try:
@@ -191,12 +217,25 @@ class MicroBatcher:
                     batch.append(self._q.get(timeout=left))
                 except queue.Empty:
                     break
-            t0 = time.perf_counter()
             try:
-                preds = self.engine.infer_batch(
-                    [r.img for r in batch], [r.meta for r in batch]
-                )
+                handles = self.engine.dispatch_batch([r.img for r in batch])
             except Exception as e:  # propagate to all waiters
+                for r in batch:
+                    r.result = e
+                    r.event.set()
+                continue
+            self._inflight.put((handles, batch))  # blocks at `depth` in flight
+
+    def _complete_loop(self) -> None:
+        while not self._stop.is_set() or not self._inflight.empty():
+            try:
+                handles, batch = self._inflight.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            t0 = handles[-1]
+            try:
+                preds = self.engine.finalize_batch(handles, [r.meta for r in batch])
+            except Exception as e:
                 for r in batch:
                     r.result = e
                     r.event.set()
@@ -238,7 +277,8 @@ class MicroBatcher:
 
     def close(self) -> None:
         self._stop.set()
-        self._worker.join(timeout=2)
+        self._dispatcher.join(timeout=2)
+        self._completer.join(timeout=5)
 
 
 # ---------------------------------------------------------------- HTTP server
