@@ -103,3 +103,42 @@ def test_http_roundtrip(engine):
         assert stats["requests"] >= 1
     finally:
         server.stop()
+
+
+def test_microbatcher_pipelined_stress(engine):
+    """40 concurrent requests through the depth-4 pipelined batcher: all
+    complete, none deadlock, multiple batches were in flight."""
+    from mga_yolo_tpu.serve import MicroBatcher
+
+    b = MicroBatcher(engine, max_wait_ms=2.0, depth=4)
+    imgs = [
+        np.random.default_rng(i).integers(0, 255, (50, 70, 3)).astype(np.uint8)
+        for i in range(8)
+    ]
+    results, errors = [], []
+    lock = threading.Lock()
+
+    def worker(i):
+        try:
+            p = b.submit(imgs[i % len(imgs)], timeout=60)
+            with lock:
+                results.append(p)
+        except Exception as e:  # noqa: BLE001
+            with lock:
+                errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(40)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    try:
+        assert not errors, errors[:3]
+        assert len(results) == 40
+        stats = b.stats()
+        assert stats["requests"] == 40
+        assert stats["batches"] >= 40 // engine.batch  # coalesced into batches
+        for p in results:
+            assert p.boxes.shape[1] == 6
+    finally:
+        b.close()
