@@ -67,6 +67,7 @@ def main(argv=None) -> None:
     p.add_argument("--concurrency", default="1,4,8,16,32")
     p.add_argument("--requests", type=int, default=64)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--depths", default="4", help="pipeline depths to A/B, e.g. 1,4")
     args = p.parse_args(argv)
 
     import jax
@@ -92,15 +93,17 @@ def main(argv=None) -> None:
         )
     engine = InferenceEngine(model, variables, imgsz=args.imgsz, batch=args.batch)
     print(f"[bench-serve] compile: {engine.warmup():.1f}s", flush=True)
-    batcher = MicroBatcher(engine, max_wait_ms=args.max_wait_ms)
-    try:
-        for c in (int(x) for x in args.concurrency.split(",")):
-            point = run_point(batcher, args.imgsz, c, args.requests)
-            point["batch"] = args.batch
-            point["imgsz"] = args.imgsz
-            print(json.dumps(point), flush=True)
-    finally:
-        batcher.close()
+    for depth in (int(d) for d in args.depths.split(",")):
+        batcher = MicroBatcher(engine, max_wait_ms=args.max_wait_ms, depth=depth)
+        try:
+            for c in (int(x) for x in args.concurrency.split(",")):
+                point = run_point(batcher, args.imgsz, c, args.requests)
+                point["batch"] = args.batch
+                point["imgsz"] = args.imgsz
+                point["depth"] = depth
+                print(json.dumps(point), flush=True)
+        finally:
+            batcher.close()
 
 
 if __name__ == "__main__":
