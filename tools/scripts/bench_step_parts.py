@@ -71,6 +71,7 @@ def main() -> None:
         return acc
 
     model_fwd = jax.jit(fwd_no_loss)
+    model_grad = jax.jit(jax.grad(fwd_no_loss))
     fwd_only = jax.jit(loss_value)
     grad_fn = jax.jit(jax.grad(loss_value))
 
@@ -107,7 +108,13 @@ def main() -> None:
         g = grad_fn(st.params, st.batch_stats, data, rngk, salt)
         return (jnp.sum(g["mtl_log_vars"]) * 1e-20).astype(jnp.bfloat16)
 
+    def run_model_grad(salt):
+        g = model_grad(st.params, st.batch_stats, data, rngk, salt)
+        leaf = jax.tree_util.tree_leaves(g)[0]
+        return (jnp.sum(leaf) * 1e-20).astype(jnp.bfloat16)
+
     t_m = time_chain(run_model)
+    t_mg = time_chain(run_model_grad)
     t_f = time_chain(run_fwd)
     t_g = time_chain(run_grad)
 
@@ -128,6 +135,7 @@ def main() -> None:
     print(json.dumps({
         "imgsz": IMGSZ, "batch": BATCH,
         "model_fwd_ms": round(t_m * 1e3, 2),
+        "model_fwd_bwd_ms": round(t_mg * 1e3, 2),
         "loss_ms": round((t_f - t_m) * 1e3, 2),
         "fwd_loss_ms": round(t_f * 1e3, 2),
         "fwd_bwd_ms": round(t_g * 1e3, 2),
