@@ -31,6 +31,9 @@ def main(argv=None) -> None:
 
     from mga_yolo_tpu.data.dataset import IMG_EXTS
     from mga_yolo_tpu.train.predictor import load_predictor
+    from mga_yolo_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     src = Path(args.source)
     files = (

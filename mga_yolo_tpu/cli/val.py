@@ -26,6 +26,8 @@ def main(argv=None) -> None:
     p.add_argument("--iou", type=float, default=0.7)
     p.add_argument("--max-det", type=int, default=300)
     p.add_argument("--split", default="val")
+    p.add_argument("--rect", action="store_true",
+                   help="rectangular batching (static aspect buckets)")
     p.add_argument("--plots", action="store_true",
                    help="save confusion matrix + PR/F1/P/R curves")
     p.add_argument("--save-json", action="store_true",
@@ -38,6 +40,8 @@ def main(argv=None) -> None:
     import numpy as np
 
     from mga_yolo_tpu.config import load_config
+    from mga_yolo_tpu.utils.compile_cache import enable_compile_cache
+
     from mga_yolo_tpu.data.dataset import MGADataset
     from mga_yolo_tpu.data.loader import DataLoader
     from mga_yolo_tpu.ops.nms import nms_jax
@@ -45,10 +49,13 @@ def main(argv=None) -> None:
     from mga_yolo_tpu.utils.checkpoint import rebuild_from_checkpoint
     from mga_yolo_tpu.utils.files import increment_path
 
+    enable_compile_cache()
     model, variables, meta = rebuild_from_checkpoint(args.weights)
     imgsz = args.imgsz or int(meta.get("imgsz", 640))
     nc = int(meta.get("nc", 1))
-    cfg = load_config({"data": args.data, "imgsz": imgsz, "batch": args.batch})
+    cfg = load_config(
+        {"data": args.data, "imgsz": imgsz, "batch": args.batch, "rect": args.rect}
+    )
     ds = MGADataset(cfg, args.split, augment=False)
     dl = DataLoader(ds, batch_size=min(args.batch, len(ds)), shuffle=False, drop_last=False)
 

@@ -61,6 +61,7 @@ class DataConfig:
     max_boxes: int = 64            # static GT padding per image
     workers: int = 8
     cache: bool = False
+    rect: bool = False             # rectangular val batching (static ar buckets)
     fraction: float = 1.0
     single_cls: bool = False
     # resolved from the data YAML:

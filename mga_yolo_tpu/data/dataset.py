@@ -56,6 +56,57 @@ def list_images(source: Path) -> list[Path]:
     raise FileNotFoundError(f"image source not found: {source}")
 
 
+def image_size(path: Path) -> tuple[int, int]:
+    """(h, w) from the file header without decoding pixels (PNG/JPEG/BMP);
+    cv2 full-decode fallback for anything else. Used by rect bucketing,
+    mirroring the reference's `verify_image_label` shape pass."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(32)
+            if head[:8] == b"\x89PNG\r\n\x1a\n":  # IHDR: w,h big-endian at 16
+                w = int.from_bytes(head[16:20], "big")
+                h = int.from_bytes(head[20:24], "big")
+                return h, w
+            if head[:2] == b"BM":  # BITMAPINFOHEADER at offset 18
+                import struct
+
+                w, h = struct.unpack("<ii", head[18:26])
+                return abs(h), abs(w)
+            if head[:2] == b"\xff\xd8":  # JPEG: scan for SOFn marker
+                f.seek(2)
+                while True:
+                    marker = f.read(2)
+                    if len(marker) < 2 or marker[0] != 0xFF:
+                        break
+                    if 0xC0 <= marker[1] <= 0xCF and marker[1] not in (0xC4, 0xC8, 0xCC):
+                        f.read(3)
+                        h = int.from_bytes(f.read(2), "big")
+                        w = int.from_bytes(f.read(2), "big")
+                        return h, w
+                    seg_len = int.from_bytes(f.read(2), "big")
+                    f.seek(seg_len - 2, 1)
+    except OSError:
+        pass
+    img = cv2.imread(str(path))
+    if img is None:
+        raise FileNotFoundError(path)
+    return img.shape[0], img.shape[1]
+
+
+def rect_bucket_shapes(imgsz: int) -> list[tuple[int, int]]:
+    """Static (h, w) aspect buckets for rect batching, /32-aligned: wide
+    (h < w), square, tall (h > w). A small fixed set bounds XLA compiles to
+    one per bucket; letterbox into the closest-ratio bucket minimizes pad
+    waste while keeping every shape static."""
+    def r32(x: float) -> int:
+        return max(32, int(math.ceil(x / 32)) * 32)
+
+    fracs = (0.5, 0.75)
+    wide = [(r32(imgsz * q), imgsz) for q in fracs]
+    tall = [(imgsz, r32(imgsz * q)) for q in reversed(fracs)]
+    return wide + [(imgsz, imgsz)] + tall
+
+
 def label_path_for(img_path: Path) -> Path:
     """images/.../x.jpg -> labels/.../x.txt (standard YOLO layout)."""
     parts = list(img_path.parts)
@@ -174,6 +225,22 @@ class MGADataset:
         self._cache: dict[int, tuple] = {}
         self._aug_dumped = 0
 
+        # rectangular batching (reference `rect: True` val,
+        # dataset.py set_rectangle): instead of the reference's per-batch
+        # dynamic shapes, images are binned into a small STATIC set of
+        # /32-aligned aspect buckets so each bucket compiles exactly once on
+        # TPU; the loader forms batches within a bucket.
+        self.rect = bool(cfg.data.rect) and not augment
+        self.bucket: Optional[np.ndarray] = None
+        self.bucket_shapes: list[tuple[int, int]] = []
+        if self.rect:
+            self.bucket_shapes = rect_bucket_shapes(self.imgsz)
+            log_b = np.log([h / w for h, w in self.bucket_shapes])
+            ars = np.array([
+                (lambda hw: hw[0] / hw[1])(image_size(p)) for p in self.img_files
+            ])
+            self.bucket = np.abs(np.log(ars)[:, None] - log_b[None, :]).argmin(1)
+
     def __len__(self) -> int:
         return len(self.img_files)
 
@@ -253,15 +320,25 @@ class MGADataset:
         if self.augment:
             rng = rng or np.random.default_rng()
             sample = self._train_sample(i, rng, use_mosaic, size)
-        else:
-            sample = T.letterbox(self.load_raw(i), size, scaleup=False)
-        return self.finalize(sample, i, imgsz=size)
+            return self.finalize(sample, i, imgsz=size)
+        shape = self.bucket_shapes[self.bucket[i]] if self.rect else (size, size)
+        sample = T.letterbox(self.load_raw(i), shape, scaleup=False)
+        return self.finalize(sample, i, shape=shape)
 
-    def finalize(self, sample: T.Sample, index: int = -1, imgsz: Optional[int] = None) -> dict:
-        """Pad GT, build the mask pyramid, emit static-shape arrays."""
-        s = imgsz or self.imgsz
+    def finalize(
+        self,
+        sample: T.Sample,
+        index: int = -1,
+        imgsz: Optional[int] = None,
+        shape: Optional[tuple[int, int]] = None,
+    ) -> dict:
+        """Pad GT, build the mask pyramid, emit static-shape arrays.
+
+        ``shape`` is an (h, w) rect-bucket target; otherwise square ``imgsz``.
+        """
+        hs, ws = shape if shape is not None else ((imgsz or self.imgsz),) * 2
         img = sample["img"]
-        assert img.shape[:2] == (s, s), f"pipeline produced {img.shape}, expected {(s, s)}"
+        assert img.shape[:2] == (hs, ws), f"pipeline produced {img.shape}, expected {(hs, ws)}"
 
         n = min(len(sample.get("boxes", ())), self.max_boxes)
         gt_boxes = np.zeros((self.max_boxes, 4), np.float32)
@@ -286,7 +363,7 @@ class MGADataset:
             self._aug_dumped += 1
         masks = []
         if mask is None:
-            mask = np.zeros((s, s), np.uint8)
+            mask = np.zeros((hs, ws), np.uint8)
         if mcfg.prob_mode:
             pyr = {
                 st: mask_ops.downsample_mask_prob(mask, st, mcfg.prob_method) for st in STRIDES
@@ -295,9 +372,9 @@ class MGADataset:
             pyr = mask_ops.downsample_mask_multi(mask, STRIDES, mcfg)
         for st in STRIDES:
             m = pyr[st].astype(np.float32)
-            hw = s // st
-            if m.shape != (hw, hw):  # defensive: ceil vs exact division
-                m = cv2.resize(m, (hw, hw), interpolation=cv2.INTER_NEAREST)
+            hw = (hs // st, ws // st)
+            if m.shape != hw:  # defensive: ceil vs exact division
+                m = cv2.resize(m, (hw[1], hw[0]), interpolation=cv2.INTER_NEAREST)
             masks.append(m[..., None])
 
         return {

@@ -50,6 +50,8 @@ class DataLoader:
         self.size_buckets: list[int] | None = None  # bucketed multi-scale sizes
 
     def __len__(self) -> int:
+        if getattr(self.dataset, "rect", False):
+            return len(self._epoch_batches())
         n = len(self.dataset)
         return n // self.global_batch if self.drop_last else -(-n // self.global_batch)
 
@@ -71,14 +73,39 @@ class DataLoader:
             order = np.concatenate([order, order[:pad]])
         return order
 
+    def _epoch_batches(self) -> list[np.ndarray]:
+        """Global-batch index arrays. For rect datasets batches are formed
+        WITHIN an aspect bucket (reference set_rectangle sorts by ar) and
+        every batch is wrap-padded to full size — a partial batch would be a
+        new static shape and a fresh XLA compile; consumers drop the padded
+        rows via the batch's `index` array."""
+        if not getattr(self.dataset, "rect", False):
+            order = self._epoch_order()
+            B = self.global_batch
+            nb = len(order) // B if self.drop_last else -(-len(order) // B)
+            return [order[i * B : (i + 1) * B] for i in range(nb)]
+        batches = []
+        B = self.global_batch
+        for b in range(len(self.dataset.bucket_shapes)):
+            idx = np.nonzero(self.dataset.bucket == b)[0]
+            if self.shuffle and len(idx):
+                np.random.default_rng(self.seed + self.epoch + b).shuffle(idx)
+            for i in range(0, len(idx), B):
+                chunk = idx[i : i + B]
+                if len(chunk) < B:  # wrap-pad within the bucket (same shape)
+                    chunk = np.concatenate(
+                        [chunk, idx[: B - len(chunk)], chunk]
+                    )[:B]
+                batches.append(chunk)
+        return batches
+
     def __iter__(self) -> Iterator[dict]:
-        order = self._epoch_order()
-        nb = len(order) // self.global_batch if self.drop_last else -(-len(order) // self.global_batch)
+        batch_list = self._epoch_batches()
+        nb = len(batch_list)
         use_mosaic = getattr(self, "use_mosaic", True)
 
         def make_batch(bi: int) -> dict:
-            start = bi * self.global_batch
-            global_idx = order[start : start + self.global_batch]
+            global_idx = batch_list[bi]
             # per-host shard of the global batch
             local_idx = global_idx[self.shard_index :: self.num_shards]
             imgsz = None

@@ -392,7 +392,9 @@ def build_server(
     max_wait_ms: float = 5.0,
 ) -> MGAServer:
     from mga_yolo_tpu.utils.checkpoint import rebuild_from_checkpoint
+    from mga_yolo_tpu.utils.compile_cache import enable_compile_cache
 
+    enable_compile_cache()
     model, variables, meta = rebuild_from_checkpoint(weights)
     engine = InferenceEngine(
         model, variables,

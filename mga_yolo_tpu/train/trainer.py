@@ -52,17 +52,7 @@ class EarlyStopping:
         return (epoch - self.best_epoch) >= self.patience
 
 
-def _enable_compile_cache() -> None:
-    """Persistent XLA compile cache (big graphs are slow to compile on the
-    remote-compile TPU tunnel; cached compiles load in seconds)."""
-    import os
-
-    cache_dir = os.environ.get("MGA_JAX_CACHE", str(Path.home() / ".cache" / "mga_jax"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+from mga_yolo_tpu.utils.compile_cache import enable_compile_cache as _enable_compile_cache
 
 
 class MGATrainer:
