@@ -26,6 +26,11 @@ from pathlib import Path
 
 import numpy as np
 
+# runnable as a plain script from anywhere: the repo root is two levels up
+_REPO = str(Path(__file__).resolve().parents[2])
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def make_fixture(root: Path, n_train: int, n_val: int, size: int, seed: int = 0) -> Path:
     """Synthetic dataset with a held-out val split (same generator family as
@@ -85,7 +90,8 @@ COMMON_HYP = dict(
 )
 
 
-def run_reference(data_yaml: Path, out_dir: Path, epochs: int, imgsz: int, batch: int) -> dict:
+def run_reference(data_yaml: Path, out_dir: Path, epochs: int, imgsz: int, batch: int,
+                  seed: int = 0) -> dict:
     """Train + val the torch reference (read-only import, CPU)."""
     import os
 
@@ -103,6 +109,7 @@ def run_reference(data_yaml: Path, out_dir: Path, epochs: int, imgsz: int, batch
 
     cfg = dict(
         COMMON_HYP,
+        seed=seed,
         data=str(data_yaml), epochs=epochs, imgsz=imgsz, batch=batch, workers=0,
         plots=False, val=True, amp=False, device="cpu", cache=False,
         erasing=0.0, project=str(out_dir), name="reference", exist_ok=True,
@@ -117,13 +124,15 @@ def run_reference(data_yaml: Path, out_dir: Path, epochs: int, imgsz: int, batch
     return rd
 
 
-def run_ours(data_yaml: Path, out_dir: Path, epochs: int, imgsz: int, batch: int) -> dict:
+def run_ours(data_yaml: Path, out_dir: Path, epochs: int, imgsz: int, batch: int,
+             seed: int = 0) -> dict:
     from mga_yolo_tpu.config import load_config
     from mga_yolo_tpu.train.trainer import MGATrainer
 
     cfg = load_config(
         dict(
             COMMON_HYP,
+            seed=seed,
             data=str(data_yaml), epochs=epochs, imgsz=imgsz, batch=batch,
             model="configs/models/yolov8_cbam.yaml", model_scale="n",
             workers=2, project=str(out_dir), name="ours", exist_ok=True,
@@ -143,6 +152,7 @@ def run_ours(data_yaml: Path, out_dir: Path, epochs: int, imgsz: int, batch: int
 def main(argv=None) -> None:
     p = argparse.ArgumentParser("map-parity")
     p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--seed", type=int, default=0, help="training seed for BOTH stacks (fixture stays seed-0)")
     p.add_argument("--imgsz", type=int, default=128)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--n", type=int, default=24, help="train images")
@@ -164,12 +174,12 @@ def main(argv=None) -> None:
 
     if not args.skip_ours:
         print("[parity] training this framework ...")
-        results["ours"] = run_ours(data_yaml, out, args.epochs, args.imgsz, args.batch)
+        results["ours"] = run_ours(data_yaml, out, args.epochs, args.imgsz, args.batch, seed=args.seed)
         results_path.write_text(json.dumps(results, indent=2))
         print("[parity] ours:", results["ours"])
     if not args.skip_reference:
         print("[parity] training the torch reference (CPU) ...")
-        results["reference"] = run_reference(data_yaml, out, args.epochs, args.imgsz, args.batch)
+        results["reference"] = run_reference(data_yaml, out, args.epochs, args.imgsz, args.batch, seed=args.seed)
         results_path.write_text(json.dumps(results, indent=2))
         print("[parity] reference:", results["reference"])
 
