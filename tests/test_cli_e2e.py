@@ -49,6 +49,29 @@ def test_ckpt_cli(trained_run):
     assert "params:" in proc.stdout
 
 
+def test_ckpt_export_torch_cli(trained_run, tmp_path):
+    """mga-ckpt export-torch writes a torch-loadable minimal checkpoint with
+    the reference's key layout (deployment-toolchain gateway)."""
+    _, run_dir = trained_run
+    out = tmp_path / "export.pt"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "mga_yolo_tpu.cli.ckpt", "export-torch",
+            str(run_dir / "weights" / "best"), str(out),
+        ],
+        capture_output=True, text=True, timeout=600, env=CPU_ENV,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert out.exists()
+    import torch
+
+    ckpt = torch.load(out, map_location="cpu", weights_only=True)
+    sd = ckpt["ema_state_dict"]
+    assert ckpt["train_args"]["nc"] >= 1
+    assert any(k.startswith("model.0.conv") for k in sd)
+    assert any(".dfl.conv.weight" in k for k in sd)
+
+
 def test_predict_cli(trained_run, tmp_path):
     data_yaml, run_dir = trained_run
     src = data_yaml.parent / "images" / "train"
