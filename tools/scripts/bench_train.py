@@ -51,7 +51,10 @@ def main() -> None:
     from mga_yolo_tpu.train import state as S
 
     cfg = load_config({})
-    model, spec = create_model("configs/models/yolov8_cbam.yaml", scale="n", nc=1, use_pallas=os.environ.get("MGA_BENCH_PALLAS", "1") == "1")
+    variant = os.environ.get("MGA_BENCH_VARIANT", "cbam")
+    scale = os.environ.get("MGA_BENCH_SCALE", "n")
+    model, spec = create_model(f"configs/models/yolov8_{variant}.yaml", scale=scale, nc=1,
+                               use_pallas=os.environ.get("MGA_BENCH_PALLAS", "1") == "1")
     st = S.create_train_state(model, jax.random.PRNGKey(0), imgsz=256)
     mesh = S.data_mesh(jax.devices()[:1])
     step_fn = S.jit_train_step(
@@ -108,7 +111,7 @@ def main() -> None:
         ips = batch / per_step
         mfu = (3.0 * fwd_gflops * ips) / (PEAK_TFLOPS * 1e3) if fwd_gflops else None
         print(json.dumps({
-            "metric": f"train img/s/chip at {IMGSZ}px (bf16, batch {batch})",
+            "metric": f"train img/s/chip at {IMGSZ}px (bf16, batch {batch}, {variant}-{scale})",
             "value": round(ips, 1), "unit": "img/s",
             "step_ms": round(per_step * 1e3, 2),
             "fwd_gflops_per_img": round(fwd_gflops, 2),
