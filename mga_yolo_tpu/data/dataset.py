@@ -56,6 +56,30 @@ def list_images(source: Path) -> list[Path]:
     raise FileNotFoundError(f"image source not found: {source}")
 
 
+def _exif_orientation(app1: bytes) -> int:
+    """Orientation (1-8) from a JPEG APP1/EXIF segment body, 0 if absent."""
+    if app1[:6] != b"Exif\x00\x00":
+        return 0
+    tiff = app1[6:]
+    if len(tiff) < 8:
+        return 0
+    bo = "little" if tiff[:2] == b"II" else "big" if tiff[:2] == b"MM" else None
+    if bo is None:
+        return 0
+    ifd = int.from_bytes(tiff[4:8], bo)
+    if len(tiff) < ifd + 2:
+        return 0
+    n = int.from_bytes(tiff[ifd : ifd + 2], bo)
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if len(tiff) < e + 12:
+            return 0
+        if int.from_bytes(tiff[e : e + 2], bo) == 0x0112:  # Orientation tag
+            v = int.from_bytes(tiff[e + 8 : e + 10], bo)
+            return v if 1 <= v <= 8 else 0
+    return 0
+
+
 def image_size(path: Path) -> tuple[int, int]:
     """(h, w) from the file header without decoding pixels (PNG/JPEG/BMP);
     cv2 full-decode fallback for anything else. Used by rect bucketing,
@@ -73,7 +97,13 @@ def image_size(path: Path) -> tuple[int, int]:
                 w, h = struct.unpack("<ii", head[18:26])
                 return abs(h), abs(w)
             if head[:2] == b"\xff\xd8":  # JPEG: scan for SOFn marker
+                # cv2.imread applies EXIF rotation at decode time, so the
+                # header dims must be swapped for orientations 5-8 or
+                # EXIF-rotated files land in the wrong rect aspect bucket
+                # (wide binned as tall); mirrors the reference's `exif_size`
+                # (`/root/reference/.../ultralytics/data/utils.py`).
                 f.seek(2)
+                orient = 1
                 while True:
                     marker = f.read(2)
                     if len(marker) < 2 or marker[0] != 0xFF:
@@ -82,9 +112,13 @@ def image_size(path: Path) -> tuple[int, int]:
                         f.read(3)
                         h = int.from_bytes(f.read(2), "big")
                         w = int.from_bytes(f.read(2), "big")
-                        return h, w
+                        return (w, h) if orient >= 5 else (h, w)
                     seg_len = int.from_bytes(f.read(2), "big")
-                    f.seek(seg_len - 2, 1)
+                    if marker[1] == 0xE1 and seg_len >= 16:  # APP1/EXIF
+                        seg = f.read(seg_len - 2)
+                        orient = _exif_orientation(seg) or orient
+                    else:
+                        f.seek(seg_len - 2, 1)
     except OSError:
         pass
     img = cv2.imread(str(path))

@@ -92,10 +92,12 @@ class DataLoader:
                 np.random.default_rng(self.seed + self.epoch + b).shuffle(idx)
             for i in range(0, len(idx), B):
                 chunk = idx[i : i + B]
-                if len(chunk) < B:  # wrap-pad within the bucket (same shape)
-                    chunk = np.concatenate(
-                        [chunk, idx[: B - len(chunk)], chunk]
-                    )[:B]
+                if len(chunk) < B:  # wrap-pad within the bucket (same shape);
+                    # np.resize tiles the chunk to exactly B rows, so even a
+                    # 1-image bucket yields a full batch (one compile per
+                    # bucket shape, and per-host shards stay even in
+                    # multi-host val)
+                    chunk = np.resize(chunk, B)
                 batches.append(chunk)
         return batches
 

@@ -79,6 +79,26 @@ class GraphSpec:
         """Pyramid tags for the mask heads, in graph order (p3, p4, p5)."""
         return tuple(n.scale_name for n in self.nodes if n.index in self.mask_head_indices)
 
+    @property
+    def attention_taps(self) -> dict[str, str]:
+        """Flax param-collection name -> pyramid tag ("P3"/"P4"/"P5") for every
+        attention node. This is the tap registry the trainer's per-epoch gate /
+        SPADE stat collectors consume, replacing `l{idx}_` string parsing
+        (reference stat collectors: mga_yolo/model/trainer.py:274-367) so a
+        renamed or re-indexed layer still reports under its pyramid level."""
+        return {
+            layer_param_name(n): (n.scale_name or f"L{n.index}").upper()
+            for n in self.nodes
+            if n.index in self.attention_indices
+        }
+
+
+def layer_param_name(node: NodeSpec) -> str:
+    """Canonical Flax submodule name for a graph node; the single source of
+    truth shared by the model builder (models/yolo.py build_node) and the
+    trainer's tap registry (GraphSpec.attention_taps)."""
+    return f"l{node.index}_{node.module}"
+
 
 def _resolve_from(f: Any, i: int) -> int | tuple[int, ...]:
     """Normalize a YAML `from` field to absolute layer indices (-1 -> i-1)."""

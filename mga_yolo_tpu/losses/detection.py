@@ -107,7 +107,10 @@ def task_aligned_assigner(
     # (one 1.0 per row, finite operands).
     sel = jax.nn.one_hot(target_gt_idx, M, dtype=pd_scores.dtype)  # (B,A,M)
     tb = jnp.einsum("bam,bmf->baf", sel, gt_bboxes)  # (B,A,4)
-    tl = jnp.einsum("bam,bm->ba", sel, gt_labels.astype(pd_scores.dtype)).astype(jnp.int32)
+    # labels route through fp32 regardless of pd_scores.dtype: in bf16 class
+    # ids > 256 would round silently (bf16 integer-exactness limit)
+    sel32 = jax.nn.one_hot(target_gt_idx, M, dtype=jnp.float32)
+    tl = jnp.einsum("bam,bm->ba", sel32, gt_labels.astype(jnp.float32)).astype(jnp.int32)
     target_scores = jax.nn.one_hot(tl, nc, dtype=pd_scores.dtype) * fg_mask[..., None]
 
     # ---- normalize by per-gt best alignment (reference tal.py:120-125) ----

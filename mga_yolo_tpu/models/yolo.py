@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mga_yolo_tpu.graph import GraphSpec, NodeSpec
+from mga_yolo_tpu.graph import GraphSpec, NodeSpec, layer_param_name
 from mga_yolo_tpu.models import layers as L
 from mga_yolo_tpu.models.attention import MaskCBAM, MaskECA, MaskSPADE
 from mga_yolo_tpu.models.heads import Detect, MGAMaskHead
@@ -55,7 +55,7 @@ def compute_strides(spec: GraphSpec) -> dict[int, int]:
 def build_node(node: NodeSpec, spec: GraphSpec, strides: dict[int, int], use_pallas: bool = False) -> Optional[nn.Module]:
     """Instantiate the Flax module for one graph node (None for inline ops)."""
     m, a = node.module, node.args
-    name = f"l{node.index}_{m}"
+    name = layer_param_name(node)
     if m == "Conv":
         c2 = a[0]
         k = a[1] if len(a) > 1 else 1

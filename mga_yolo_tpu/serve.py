@@ -35,6 +35,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+MAX_UPLOAD_BYTES = 32 * 1024 * 1024  # reject absurd uploads with 413 instead of OOM
+
 
 # --------------------------------------------------------------------- engine
 
@@ -347,6 +349,9 @@ class MGAServer:
                 import cv2
 
                 n = int(self.headers.get("Content-Length", 0))
+                if n > MAX_UPLOAD_BYTES:
+                    self._send(413, {"error": f"payload too large (max {MAX_UPLOAD_BYTES} bytes)"})
+                    return
                 raw = self.rfile.read(n)
                 img = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
                 if img is None:
@@ -357,6 +362,10 @@ class MGAServer:
                     pred = outer.batcher.submit(img)
                 except TimeoutError:
                     self._send(503, {"error": "timeout"})
+                    return
+                except Exception as e:  # engine/device failure: JSON 500, not a
+                    # dropped connection + per-request stderr traceback
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
                     return
                 want_masks = "masks=1" in (self.path.partition("?")[2] or "")
                 payload = _json_prediction(pred, want_masks)

@@ -286,32 +286,24 @@ class MGATrainer:
 
     def _collect_alpha_params(self) -> dict:
         """softplus(beta) gates of attention layers from EMA params
-        (reference trainer.py:274-321)."""
+        (reference trainer.py:274-321). Layers are located via the graph's
+        tap registry (GraphSpec.attention_taps), not by parsing param names."""
         out = {}
-        level = {23: "P3", 25: "P4", 27: "P5"}
-        for name, sub in self.state.ema_params.items():
+        taps = self.spec.attention_taps
+        for name, tag in taps.items():
+            sub = self.state.ema_params.get(name)
             if not isinstance(sub, dict) or "beta" not in sub:
                 continue
-            try:
-                idx = int(str(name).split("_")[0][1:])
-            except (ValueError, IndexError):
-                continue
-            tag = level.get(idx, name)
             out[f"alpha_{tag}"] = float(np.log1p(np.exp(np.asarray(sub["beta"]))))
         return out
 
     def _collect_spade_stats(self) -> dict:
         """SPADE gamma/beta conv weight statistics (reference trainer.py:323-367)."""
         out = {}
-        level = {23: "P3", 25: "P4", 27: "P5"}
-        for name, sub in self.state.ema_params.items():
+        for name, tag in self.spec.attention_taps.items():
+            sub = self.state.ema_params.get(name)
             if not isinstance(sub, dict) or "conv_gamma" not in sub:
                 continue
-            try:
-                idx = int(str(name).split("_")[0][1:])
-            except (ValueError, IndexError):
-                continue
-            tag = level.get(idx, name)
             g = np.asarray(sub["conv_gamma"]["kernel"])
             b = np.asarray(sub["conv_beta"]["kernel"])
             out[f"spade/{tag}/gamma_mean"] = float(g.mean())

@@ -12,10 +12,12 @@ import sys
 
 import pytest
 
+from tests._env import cpu_subprocess_env
 from tests.synth import create_synthetic_dataset
 
-CPU_ENV = {**os.environ, "JAX_PLATFORMS": "cpu",
-           "XLA_FLAGS": os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"}
+pytestmark = pytest.mark.e2e
+
+CPU_ENV = cpu_subprocess_env()
 
 
 @pytest.fixture(scope="module")

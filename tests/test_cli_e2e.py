@@ -9,12 +9,15 @@ import sys
 import numpy as np
 import pytest
 
+from tests._env import cpu_subprocess_env
 from tests.synth import create_synthetic_dataset
 
+pytestmark = pytest.mark.e2e
+
 # CPU for subprocesses: env must be set before the interpreter starts
-# (the sandbox sitecustomize imports jax at startup)
-CPU_ENV = {**os.environ, "JAX_PLATFORMS": "cpu",
-           "XLA_FLAGS": os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"}
+# (the sandbox sitecustomize imports jax at startup), and the TPU-tunnel
+# plugin vars must be stripped or children stall minutes on tunnel init.
+CPU_ENV = cpu_subprocess_env()
 
 
 @pytest.fixture(scope="module")
