@@ -73,7 +73,11 @@ def main() -> None:
     from mga_yolo_tpu.train import state as S
 
     dtype = jnp.bfloat16
-    model, spec = create_model("configs/models/yolov8_cbam.yaml", scale="n", nc=1, use_pallas=True)
+    # the DEFAULT shipped inference path: use_pallas="auto" resolves exactly as
+    # mga-predict/mga-serve/mga-val do (fused Pallas attention on TPU), so the
+    # headline number is the number users get
+    model, spec = create_model("configs/models/yolov8_cbam.yaml", scale="n", nc=1,
+                               use_pallas="auto", training=False)
     st = S.create_train_state(model, jax.random.PRNGKey(0), imgsz=256)
     variables = {"params": {k: v for k, v in st.params.items() if k != "mtl_log_vars"}}
     if st.batch_stats:

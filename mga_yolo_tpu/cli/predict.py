@@ -16,7 +16,8 @@ def main(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     p = argparse.ArgumentParser("mga-predict")
     p.add_argument("--weights", required=True)
-    p.add_argument("--source", required=True, help="image file or directory")
+    p.add_argument("--source", required=True,
+                   help="image/video file, directory, glob, webcam index, or stream URL")
     p.add_argument("--imgsz", type=int, default=None)
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--iou", type=float, default=0.45)
@@ -24,40 +25,66 @@ def main(argv=None) -> None:
     p.add_argument("--save-feature-maps", action="store_true")
     p.add_argument("--fuse", action="store_true", help="fold BN into convs before inference")
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--use-pallas", default="auto", choices=["auto", "true", "false"],
+                   help="fused Pallas attention kernels (auto = on when on TPU)")
+    p.add_argument("--max-frames", type=int, default=0,
+                   help="cap frames taken per video/stream source (0 = all)")
+    p.add_argument("--save-frame-masks", action="store_true",
+                   help="also save per-frame mask PNGs for video sources")
     args = p.parse_args(argv)
 
     import cv2
     import numpy as np
 
-    from mga_yolo_tpu.data.dataset import IMG_EXTS
+    from mga_yolo_tpu.data.sources import VideoSink
     from mga_yolo_tpu.train.predictor import load_predictor
     from mga_yolo_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
 
-    src = Path(args.source)
-    files = (
-        sorted(p for p in src.rglob("*") if p.suffix.lower() in IMG_EXTS)
-        if src.is_dir()
-        else [src]
-    )
-    pred = load_predictor(args.weights, imgsz=args.imgsz, conf=args.conf, iou=args.iou, fuse=args.fuse)
+    pred = load_predictor(args.weights, imgsz=args.imgsz, conf=args.conf, iou=args.iou,
+                          fuse=args.fuse, use_pallas=args.use_pallas)
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    results = pred([str(f) for f in files], batch_size=args.batch)
-    for f, r in zip(files, results):
-        cv2.imwrite(str(out_dir / f"{f.stem}_pred.jpg"), r.plot())
-        for sk, m in r.mga_masks.items():
-            cv2.imwrite(
-                str(out_dir / f"{f.stem}_mask_{sk}.png"), (m * 255).astype(np.uint8)
-            )
-        if args.save_feature_maps:
-            np.savez(
-                out_dir / f"{f.stem}_masks.npz",
-                **{k: v for k, v in r.mga_masks.items()},
-            )
-        print(f"{f.name}: {len(r)} detections")
+    sinks: dict[str, VideoSink] = {}   # one annotated-video writer per source video
+    n_img = n_frames = 0
+    try:
+        for frame, r in pred.stream(args.source, batch_size=args.batch,
+                                    max_frames=args.max_frames):
+            annotated = r.plot(img=frame.img.copy())
+            if frame.is_video:
+                sink = sinks.get(frame.path)
+                if sink is None:
+                    suffix = ".avi" if frame.path.lower().endswith(".avi") else ".mp4"
+                    sink = sinks[frame.path] = VideoSink(
+                        out_dir / f"{frame.stem}_pred{suffix}", fps=frame.fps)
+                sink.write(annotated)
+                n_frames += 1
+                if args.save_frame_masks or args.save_feature_maps:
+                    tag = f"{frame.stem}_f{frame.index:05d}"
+                    if args.save_frame_masks:
+                        for sk, m in r.mga_masks.items():
+                            cv2.imwrite(str(out_dir / f"{tag}_mask_{sk}.png"),
+                                        (m * 255).astype(np.uint8))
+                    if args.save_feature_maps:
+                        np.savez(out_dir / f"{tag}_masks.npz", **r.mga_masks)
+            else:
+                stem = frame.stem
+                cv2.imwrite(str(out_dir / f"{stem}_pred.jpg"), annotated)
+                for sk, m in r.mga_masks.items():
+                    cv2.imwrite(str(out_dir / f"{stem}_mask_{sk}.png"),
+                                (m * 255).astype(np.uint8))
+                if args.save_feature_maps:
+                    np.savez(out_dir / f"{stem}_masks.npz", **r.mga_masks)
+                n_img += 1
+                print(f"{Path(frame.path).name}: {len(r)} detections")
+    finally:
+        for sink in sinks.values():
+            sink.close()
+    for path, sink in sinks.items():
+        print(f"{Path(path).name}: {sink.frames_written} frames -> {sink.out_path.name}")
+    print(f"[mga-predict] {n_img} images, {n_frames} video frames -> {out_dir}")
 
 
 if __name__ == "__main__":

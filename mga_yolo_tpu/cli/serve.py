@@ -27,6 +27,8 @@ def main(argv=None) -> None:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--masks", action="store_true", help="serve sigmoid masks too")
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--use-pallas", default="auto", choices=["auto", "true", "false"],
+                   help="fused Pallas attention kernels (auto = on when on TPU)")
     args = p.parse_args(argv)
 
     from mga_yolo_tpu.serve import build_server
@@ -34,7 +36,7 @@ def main(argv=None) -> None:
     server = build_server(
         args.weights, imgsz=args.imgsz, batch=args.batch, conf=args.conf,
         iou=args.iou, max_det=args.max_det, port=args.port, host=args.host,
-        with_masks=args.masks, max_wait_ms=args.max_wait_ms,
+        with_masks=args.masks, max_wait_ms=args.max_wait_ms, use_pallas=args.use_pallas,
     )
     print(f"[mga-serve] listening on http://{args.host}:{server.port}")
     try:

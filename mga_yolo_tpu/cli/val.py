@@ -33,6 +33,8 @@ def main(argv=None) -> None:
     p.add_argument("--save-json", action="store_true",
                    help="save COCO-format predictions.json")
     p.add_argument("--out", default=None, help="output dir (default: runs/val)")
+    p.add_argument("--use-pallas", default="auto", choices=["auto", "true", "false"],
+                   help="fused Pallas attention kernels (auto = on when on TPU)")
     args = p.parse_args(argv)
 
     import jax
@@ -50,7 +52,7 @@ def main(argv=None) -> None:
     from mga_yolo_tpu.utils.files import increment_path
 
     enable_compile_cache()
-    model, variables, meta = rebuild_from_checkpoint(args.weights)
+    model, variables, meta = rebuild_from_checkpoint(args.weights, use_pallas=args.use_pallas)
     imgsz = args.imgsz or int(meta.get("imgsz", 640))
     nc = int(meta.get("nc", 1))
     cfg = load_config(

@@ -120,7 +120,9 @@ class TrainConfig:
     device: Optional[str] = None
     plots: bool = True
     # feature-map capture (reference MGA_SAVE_FM flags)
-    use_pallas: bool = False   # fused Pallas attention kernels (TPU)
+    # fused Pallas attention kernels: True / False / "auto" (auto = fused for
+    # eval/predict/serve on TPU, XLA under grad — each mode's measured-fastest)
+    use_pallas: "bool | str" = "auto"
     save_fm: bool = False
     save_layers: tuple = (23, 25, 27)
     save_fm_max: int = 4

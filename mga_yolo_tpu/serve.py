@@ -399,12 +399,13 @@ def build_server(
     host: str = "127.0.0.1",
     with_masks: bool = False,
     max_wait_ms: float = 5.0,
+    use_pallas: "bool | str | None" = "auto",
 ) -> MGAServer:
     from mga_yolo_tpu.utils.checkpoint import rebuild_from_checkpoint
     from mga_yolo_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
-    model, variables, meta = rebuild_from_checkpoint(weights)
+    model, variables, meta = rebuild_from_checkpoint(weights, use_pallas=use_pallas)
     engine = InferenceEngine(
         model, variables,
         imgsz=imgsz or int(meta.get("imgsz", 640)),

@@ -89,6 +89,62 @@ class MGAPredictor:
         decoded, _ = out["det"]
         return decoded, out["seg"]
 
+    def _infer_batch(self, imgs: list, metas: list, batch_size: int) -> List[Results]:
+        """Forward one (possibly tail-padded) batch and postprocess each row.
+
+        Padding partial batches to ``batch_size`` keeps the jitted forward on
+        ONE compiled shape — a fresh per-shape compile is expensive on the
+        remote-compile TPU tunnel; padded rows are dropped after the forward.
+        """
+        n_real = len(imgs)
+        if n_real < batch_size:
+            imgs = imgs + [imgs[-1]] * (batch_size - n_real)
+        x = jnp.asarray(np.stack(imgs))
+        decoded, seg = self._forward(self.variables, x)
+        decoded = np.asarray(decoded, np.float32)
+        seg_np = {k: np.asarray(v, np.float32) for k, v in seg.items()}
+        out: List[Results] = []
+        for i, (path, orig_shape, ratio_pad) in enumerate(metas):
+            dets = nms_numpy(decoded[i], self.conf, self.iou, self.max_det)
+            dets[:, :4] = scale_boxes(dets[:, :4], ratio_pad, orig_shape)
+            masks = {k: 1.0 / (1.0 + np.exp(-seg_np[k][i, ..., 0])) for k in seg_np}
+            out.append(Results(path, orig_shape, dets, masks))
+        return out
+
+    def stream(self, source, batch_size: int = 16, max_frames: int = 0):
+        """Streaming inference over any source kind — yields (Frame, Results).
+
+        Mirrors the reference `BasePredictor.stream_inference`
+        (`engine/predictor.py:277`): frames arrive from
+        :func:`mga_yolo_tpu.data.sources.iter_source` (image files, dirs,
+        globs, video files, webcams, stream URLs), are letterboxed on host,
+        batched to the fixed compiled shape, and results stream out in frame
+        order without buffering the whole video.
+        """
+        from mga_yolo_tpu.data.sources import Frame, iter_source
+
+        pending_frames: list = []
+        imgs, metas = [], []
+
+        def flush():
+            results = self._infer_batch(imgs, metas, batch_size)
+            for fr, r in zip(pending_frames, results):
+                yield fr, r
+            pending_frames.clear()
+            imgs.clear()
+            metas.clear()
+
+        for frame in iter_source(source, max_frames=max_frames):
+            lb = letterbox({"img": frame.img, "boxes": np.zeros((0, 4), np.float32),
+                            "cls": np.zeros((0,), np.float32)}, self.imgsz, scaleup=False)
+            pending_frames.append(frame)
+            imgs.append(lb["img"])
+            metas.append((frame.path, frame.img.shape[:2], lb["ratio_pad"]))
+            if len(imgs) == batch_size:
+                yield from flush()
+        if imgs:
+            yield from flush()
+
     def __call__(self, sources: Iterable[str | np.ndarray], batch_size: int = 16) -> List[Results]:
         items = list(sources)
         results: List[Results] = []
@@ -105,24 +161,8 @@ class MGAPredictor:
                                 "cls": np.zeros((0,), np.float32)}, self.imgsz, scaleup=False)
                 imgs.append(lb["img"])
                 metas.append((path, img.shape[:2], lb["ratio_pad"]))
-            n_real = len(imgs)
-            if n_real < batch_size and len(items) > batch_size:
-                # pad the tail chunk to the full batch so the jitted forward
-                # keeps one compiled shape (a fresh per-shape compile is
-                # expensive on the remote-compile TPU tunnel); padded rows are
-                # dropped after the forward
-                imgs.extend([imgs[-1]] * (batch_size - n_real))
-            x = jnp.asarray(np.stack(imgs))
-            decoded, seg = self._forward(self.variables, x)
-            decoded = np.asarray(decoded, np.float32)
-            seg_np = {k: np.asarray(v, np.float32) for k, v in seg.items()}
-            for i, (path, orig_shape, ratio_pad) in enumerate(metas):
-                dets = nms_numpy(decoded[i], self.conf, self.iou, self.max_det)
-                dets[:, :4] = scale_boxes(dets[:, :4], ratio_pad, orig_shape)
-                masks = {
-                    k: 1.0 / (1.0 + np.exp(-seg_np[k][i, ..., 0])) for k in seg_np
-                }
-                results.append(Results(path, orig_shape, dets, masks))
+            bs = batch_size if len(items) > batch_size else len(imgs)
+            results.extend(self._infer_batch(imgs, metas, bs))
         return results
 
 
@@ -131,9 +171,11 @@ def load_predictor(
     model_yaml: Optional[str] = None,
     scale: Optional[str] = None,
     imgsz: Optional[int] = None,
+    use_pallas: "bool | str | None" = "auto",
     **kw,
 ) -> MGAPredictor:
     from mga_yolo_tpu.utils.checkpoint import rebuild_from_checkpoint
 
-    model, variables, meta = rebuild_from_checkpoint(ckpt_path, model_yaml, scale)
+    model, variables, meta = rebuild_from_checkpoint(ckpt_path, model_yaml, scale,
+                                                     use_pallas=use_pallas)
     return MGAPredictor(model, variables, imgsz=imgsz or int(meta.get("imgsz", 640)), **kw)

@@ -74,6 +74,7 @@ class MGATrainer:
             scale=t.model_scale,
             tap_indices=tuple(t.save_layers) if t.save_fm else (),
             use_pallas=t.use_pallas,
+            training=True,  # "auto" resolves to XLA under grad (measured faster)
         )
         self.strides = (8, 16, 32)
 

@@ -121,7 +121,7 @@ def load_checkpoint(path: str | Path, state) -> Tuple[Any, dict]:
 
 def rebuild_from_checkpoint(path: str | Path, model_yaml: Optional[str] = None,
                             scale: Optional[str] = None, prefer_ema: bool = True,
-                            tap_indices: tuple = ()):
+                            tap_indices: tuple = (), use_pallas: "bool | str | None" = "auto"):
     """Rebuild (model, variables, meta) from a checkpoint directory alone.
 
     Mirrors `rebuild_mga_model_from_minimal_ckpt`: the model graph is rebuilt
@@ -153,7 +153,11 @@ def rebuild_from_checkpoint(path: str | Path, model_yaml: Optional[str] = None,
     if model_yaml is None:
         raise ValueError("model YAML unknown: pass model_yaml or keep metadata.json")
 
-    model, spec = create_model(model_yaml, scale=scale, nc=nc, tap_indices=tuple(tap_indices))
+    # inference surface: "auto" -> fused Pallas attention on TPU (the shipped
+    # default path; bench.py measures this same path)
+    model, spec = create_model(model_yaml, scale=scale, nc=nc,
+                               tap_indices=tuple(tap_indices),
+                               use_pallas=use_pallas, training=False)
     state = create_train_state(
         model, jax.random.PRNGKey(0), imgsz=int(meta.get("imgsz", 64)),
         opt_name=meta.get("optimizer", "sgd"),
