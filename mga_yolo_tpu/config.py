@@ -123,6 +123,10 @@ class TrainConfig:
     # fused Pallas attention kernels: True / False / "auto" (auto = fused for
     # eval/predict/serve on TPU, XLA under grad — each mode's measured-fastest)
     use_pallas: "bool | str" = "auto"
+    # folded-conv lane packing for the small-channel backbone prefix
+    # (models/lanepack.py): True / False / "auto" (auto = on for TPU training,
+    # where the 128-lane padding of C<128 NHWC tensors dominates the backward)
+    lane_pack: "bool | str" = "auto"
     save_fm: bool = False
     save_layers: tuple = (23, 25, 27)
     save_fm_max: int = 4

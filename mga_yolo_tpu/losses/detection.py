@@ -81,12 +81,22 @@ def task_aligned_assigner(
     align_metric = bbox_scores**alpha * overlaps**beta
 
     # ---- top-k per gt over anchors (reference select_topk_candidates tal.py:203-233) ----
-    topk_vals, topk_idx = jax.lax.top_k(align_metric, topk)  # (B,M,k)
-    valid = mask_gt.astype(bool)[..., None]  # (B,M,1)
-    topk_idx = jnp.where(valid, topk_idx, 0)
-    count = (topk_idx[..., None] == jnp.arange(A)[None, None, None, :]).sum(2)  # (B,M,A)
-    count = jnp.where(count > 1, 0, count).astype(align_metric.dtype)
-    mask_pos = count * cand  # (B,M,A)
+    # Threshold formulation: an anchor is selected iff its metric reaches the
+    # k-th largest value for that gt AND is positive. vs the reference's
+    # index-scatter this avoids both the (B,M,k,A) one-hot count broadcast
+    # (~150M elements at b64) and the index half of top_k. Parity argument:
+    #   * fewer than k positive candidates -> kth value is 0; the `> 0` guard
+    #     keeps exactly the positive ones. The reference *does* select
+    #     zero-metric anchors in this case, but they are inert downstream:
+    #     their normalized target score is 0 (align_metric * mask_pos = 0), so
+    #     cls targets and box/dfl weights vanish identically.
+    #   * ties at the kth positive value select k+t anchors here vs exactly k
+    #     (lowest index wins) in the reference — a measure-zero event for
+    #     continuous fp32 metrics; covered by the degenerate-case invariant
+    #     test (tests/test_loss_parity.py).
+    topk_vals = jax.lax.top_k(align_metric, topk)[0]  # (B,M,k)
+    kth = topk_vals[..., -1:]  # (B,M,1)
+    mask_pos = ((align_metric >= kth) & (align_metric > 0)).astype(align_metric.dtype)
 
     # ---- resolve anchors claimed by multiple gts: keep highest overlap ----
     # (reference select_highest_overlaps tal.py:301-329; the data-dependent

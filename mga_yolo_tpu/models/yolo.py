@@ -112,12 +112,25 @@ class MGAModel(nn.Module):
     spec: GraphSpec
     tap_indices: tuple[int, ...] = ()
     use_pallas: bool = False  # fused Pallas kernels in attention blocks (TPU)
+    lane_pack: bool = False   # folded-conv lane packing for small-C layers (TPU)
+    lane_pack_lanes: int = 128  # packing target: lanes per packed tensor (128/256)
 
     def setup(self):
         strides = compute_strides(self.spec)
         self._strides = strides
+        if self.lane_pack:
+            from mga_yolo_tpu.models.lanepack import build_packed_node, plan_packed_section
+
+            self._pack_plan = plan_packed_section(self.spec, target_lanes=self.lane_pack_lanes)
+        else:
+            self._pack_plan = {}
         mods = {}
         for node in self.spec.nodes:
+            if node.index in self._pack_plan:
+                from mga_yolo_tpu.models.lanepack import build_packed_node
+
+                mods[node.index] = build_packed_node(node, self._pack_plan, node.c_in)
+                continue
             mod = build_node(node, self.spec, strides, self.use_pallas)
             if mod is not None:
                 mods[node.index] = mod
@@ -134,7 +147,33 @@ class MGAModel(nn.Module):
         prev: Any = x
         det_out = None
 
+        plan = self._pack_plan
+        if plan:
+            from mga_yolo_tpu.models.lanepack import pack_width, unpack_width
+        # (value, f) of the previous node's packed output when it ran packed;
+        # packed regions chain through this, everyone else consumes the
+        # unpacked `prev`/cache (XLA dead-code-eliminates unused unpacks)
+        packed_prev = None
+
         for node in spec.nodes:
+            if node.index in plan:
+                f_in, f_out = plan[node.index]
+                src = node.inputs[0]
+                if packed_prev is not None and src == node.index - 1:
+                    xin = packed_prev[0]
+                else:  # region entry: one relayout into the packed layout
+                    base = x if src < 0 else (prev if src == node.index - 1 else cache[src])
+                    xin = pack_width(base, f_in)
+                out_p = self.blocks[node.index](xin, train=train)
+                packed_prev = (out_p, f_out)
+                out = unpack_width(out_p, f_out)
+                if node.index in self.tap_indices:
+                    taps[node.index] = out
+                if node.index in save:
+                    cache[node.index] = out
+                prev = out
+                continue
+            packed_prev = None
             ins = []
             for f in node.inputs:
                 if f == node.index - 1:
@@ -199,18 +238,51 @@ def resolve_use_pallas(mode: bool | str | None, *, training: bool) -> bool:
     return on_tpu
 
 
+def resolve_lane_pack(mode: bool | str | int | None, *, training: bool) -> tuple[bool, int]:
+    """Mode-aware resolution of the lane-packing flag (models/lanepack.py).
+
+    Returns (enabled, target_lanes). ``"auto"`` enables the folded-conv
+    packed backbone for TPU *training*, where the backward pass on C<128
+    NHWC layers is lane-padding-bound (measured ~16x per-FLOP gap,
+    tools/scripts/bench_c2f_bisect.py). CPU and inference keep the plain
+    layout unless explicitly enabled. An int (128/256) forces that packing
+    depth on.
+    """
+    if isinstance(mode, bool):
+        return mode, 128
+    if isinstance(mode, int):
+        return mode > 0, max(mode, 128)
+    if isinstance(mode, str):
+        low = mode.lower()
+        if low in {"1", "true", "yes", "on"}:
+            return True, 128
+        if low in {"0", "false", "no", "off"}:
+            return False, 128
+        if low.isdigit():
+            return int(low) > 0, max(int(low), 128)
+    if not training:
+        return False, 128
+    try:
+        return jax.default_backend() == "tpu", 128
+    except RuntimeError:
+        return False, 128
+
+
 def create_model(
     cfg: str | dict,
     scale: str | None = None,
     nc: int | None = None,
     tap_indices=(),
     use_pallas: bool | str | None = False,
+    lane_pack: bool | str | None = False,
     training: bool = True,
 ) -> tuple[MGAModel, GraphSpec]:
-    """Parse YAML + build the model in one call. ``use_pallas`` accepts
-    True/False/"auto" (see resolve_use_pallas)."""
+    """Parse YAML + build the model in one call. ``use_pallas`` and
+    ``lane_pack`` accept True/False/"auto" (see the resolvers above)."""
     from mga_yolo_tpu.graph import parse_graph
 
     spec = parse_graph(cfg, scale=scale, nc=nc)
     flag = resolve_use_pallas(use_pallas, training=training)
-    return MGAModel(spec=spec, tap_indices=tuple(tap_indices), use_pallas=flag), spec
+    pack, lanes = resolve_lane_pack(lane_pack, training=training)
+    return MGAModel(spec=spec, tap_indices=tuple(tap_indices), use_pallas=flag,
+                    lane_pack=pack, lane_pack_lanes=lanes), spec

@@ -292,6 +292,29 @@ def make_eval_step(
     return eval_step
 
 
+def host_barrier(name: str, timeout_ms: int = 1_200_000) -> None:
+    """Align all processes at a coordination-service barrier (no collectives).
+
+    Used right before the first execution of a multi-process jitted program:
+    the CPU Gloo transport gives a collective context ~30 s to rendezvous,
+    and accumulated pre-loop host skew (imports, dataset scans, per-host
+    compile times) can exceed that — the slow host then kills the whole
+    cluster with ``Gloo context initialization failed: DEADLINE_EXCEEDED``.
+    This barrier goes through the jax.distributed coordination service (plain
+    RPC, generous timeout), so it is safe to call before any program runs.
+    The reference has no equivalent (torch DDP's NCCL init has a 3 h timeout,
+    `engine/trainer.py:246-252`); TPU pods with heterogeneous host startup
+    need the same alignment.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
 def host_local_to_global(batch: dict, mesh: Mesh):
     """Move a host batch onto the mesh with the training input shardings.
 

@@ -74,6 +74,7 @@ class MGATrainer:
             scale=t.model_scale,
             tap_indices=tuple(t.save_layers) if t.save_fm else (),
             use_pallas=t.use_pallas,
+            lane_pack=t.lane_pack,
             training=True,  # "auto" resolves to XLA under grad (measured faster)
         )
         self.strides = (8, 16, 32)
@@ -359,6 +360,9 @@ class MGATrainer:
         )
         last_result: Optional[ValResult] = None
         self.callbacks.fire("on_train_start", trainer=self)
+        # multi-process: align hosts before the first collective program runs
+        # (pre-loop skew would blow the ~30 s Gloo rendezvous window)
+        S.host_barrier("mga:pre-train")
         profile_dir = self.save_dir / "profile"
         for epoch in range(self.start_epoch, t.epochs):
             self.callbacks.fire("on_train_epoch_start", trainer=self, epoch=epoch)

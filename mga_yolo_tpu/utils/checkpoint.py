@@ -23,8 +23,24 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _donation_safe_copy(tree):
+    """Device-copy a state tree so buffer donation cannot invalidate it.
+
+    Single-process: ``jnp.copy`` (async, keeps the D2H off the critical
+    path). Multi-process: ``jnp.copy`` on a globally-sharded array dispatches
+    an SPMD program that EVERY process must execute — running it from the
+    rank-0-gated save path alone leaves the other hosts out of the collective
+    clique and kills the cluster with a Gloo rendezvous timeout (caught by
+    tests/test_multiprocess_spmd.py). The state is fully replicated, so the
+    process-local ``np.asarray`` fetch is collective-free and equivalent.
+    """
+    if jax.process_count() > 1:
+        return _to_numpy_tree(tree)
+    return jax.tree_util.tree_map(jnp_copy, tree)
+
+
 def _payload(state, to_numpy: bool = True):
-    conv = _to_numpy_tree if to_numpy else (lambda t: jax.tree_util.tree_map(jnp_copy, t))
+    conv = _to_numpy_tree if to_numpy else _donation_safe_copy
     return {
         "step": conv(state.step),
         "opt_step": conv(state.opt_step),
@@ -46,12 +62,28 @@ def jnp_copy(x):
 _ASYNC_CKPTR = None
 
 
+def _mp_options():
+    """Scope orbax's multihost barriers to process 0 in multi-process runs.
+
+    Checkpoints are written from the rank-0-gated trainer path (reference
+    DDP semantics, `engine/trainer.py:628`); orbax's default barriers span
+    every process and would deadlock when only host 0 calls save.
+    """
+    import orbax.checkpoint as ocp
+
+    if jax.process_count() > 1:
+        return {"multiprocessing_options": ocp.options.MultiprocessingOptions(
+            primary_host=0, active_processes={0})}
+    return {}
+
+
 def _async_checkpointer():
     global _ASYNC_CKPTR
     if _ASYNC_CKPTR is None:
         import orbax.checkpoint as ocp
 
-        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler(),
+                                             **_mp_options())
     return _ASYNC_CKPTR
 
 
@@ -75,7 +107,7 @@ def save_checkpoint(path: str | Path, state, metadata: dict,
         payload = _payload(state, to_numpy=False)  # device copies, donation-safe
         ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
     else:
-        with ocp.StandardCheckpointer() as ckptr:
+        with ocp.StandardCheckpointer(**_mp_options()) as ckptr:
             ckptr.save(path, _payload(state), force=True)
     (path.parent / (path.name + ".meta.json")).write_text(json.dumps(metadata, indent=2))
 

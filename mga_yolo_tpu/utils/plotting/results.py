@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 from typing import Dict, Optional, Sequence
 
@@ -71,15 +72,28 @@ def model_comparison(
     runs: Dict[str, str | Path],
     save_dir: str | Path,
     smooth_sigma: float = 2.0,
+    fold_bands: bool = False,
 ) -> list[Path]:
     """N-run comparison: det-loss 2x4 grid, seg-loss grid, val-metric panel.
 
     ``runs`` maps display name -> results.csv path (reference
     model_comparison.py YAML spec surface).
+
+    With ``fold_bands``, runs whose fold-stripped names coincide
+    ('cbam_n_fold0/1/2') are k-fold repeats of one experiment: each panel
+    shows the per-epoch fold mean as the line with a +-std shaded band
+    (reference pareto_performance_size.py:28-34 aggregation, applied to the
+    training curves).
     """
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
     dfs = {name: pd.read_csv(p) for name, p in runs.items()}
+    if fold_bands:
+        grouped: Dict[str, list] = {}
+        for name, df in dfs.items():
+            grouped.setdefault(strip_fold(name), []).append(df)
+    else:
+        grouped = {name: [df] for name, df in dfs.items()}
     outs = []
 
     panels = [
@@ -92,11 +106,28 @@ def model_comparison(
         flat = [a for row in axes for a in row]
         for ax, col in zip(flat, cols):
             any_data = False
-            for name, df in dfs.items():
-                if col in df.columns:
+            for name, group in grouped.items():
+                with_col = [df for df in group if col in df.columns]
+                if not with_col:
+                    continue
+                if len(with_col) == 1:
+                    df = with_col[0]
                     y = pd.to_numeric(df[col], errors="coerce").to_numpy()
                     ax.plot(df["epoch"], _smooth(y, smooth_sigma), linewidth=1.2, label=name)
-                    any_data = True
+                else:
+                    n_ep = min(len(df) for df in with_col)
+                    ys = np.stack([
+                        _smooth(pd.to_numeric(df[col], errors="coerce").to_numpy()[:n_ep],
+                                smooth_sigma)
+                        for df in with_col
+                    ])
+                    ep = with_col[0]["epoch"].to_numpy()[:n_ep]
+                    mean, std = ys.mean(0), ys.std(0)
+                    line, = ax.plot(ep, mean, linewidth=1.2,
+                                    label=f"{name} (k={len(with_col)})")
+                    ax.fill_between(ep, mean - std, mean + std,
+                                    alpha=0.2, color=line.get_color(), linewidth=0)
+                any_data = True
             if any_data:
                 ax.set_title(col, fontsize=8)
                 ax.tick_params(labelsize=7)
@@ -116,16 +147,30 @@ def model_comparison(
     return outs
 
 
+_FOLD_RE = re.compile(r"[_\-/]?fold[_\-]?\d+", re.IGNORECASE)
+
+
+def strip_fold(name: str) -> str:
+    """Normalize a run name by removing a fold token: 'cbam_n_fold2' -> 'cbam_n'."""
+    return _FOLD_RE.sub("", str(name)).strip("_-/") or str(name)
+
+
 def pareto_performance(
     runs: Sequence[dict],
     save: str | Path,
     metric: str = "metrics/mAP50(B)",
+    aggregate_folds: bool = True,
 ) -> Path:
     """mAP-vs-size Pareto front (reference pareto_performance_size.py).
 
-    Each run dict: {name, results_csv, profiling_yaml, group(optional)}.
-    Uses the best epoch of ``metric`` and the params count from
-    profiling.yaml; marks the non-dominated front.
+    Each run dict: {name, results_csv, profiling_yaml, group(optional),
+    fold(optional)}. Uses the best epoch of ``metric`` and the params count
+    from profiling.yaml; marks the non-dominated front.
+
+    With ``aggregate_folds`` (default, reference
+    pareto_performance_size.py:28-34,95-97), runs sharing a fold-stripped
+    name are k-fold repeats: one point at the fold mean with +-std error
+    bars in both axes; the front is computed over the aggregated means.
     """
     pts = []
     for r in runs:
@@ -134,19 +179,39 @@ def pareto_performance(
         with open(r["profiling_yaml"]) as f:
             prof = yaml.safe_load(f)
         params = prof.get("parameters", 0) / 1e6
-        pts.append((r.get("name", Path(r["results_csv"]).parent.name), params, best,
-                    r.get("group", "run")))
+        name = r.get("name", Path(r["results_csv"]).parent.name)
+        pts.append((name, params, best, r.get("group", "run")))
+
+    if aggregate_folds:
+        by_key: dict[tuple, list] = {}
+        for name, x, y, g in pts:
+            by_key.setdefault((strip_fold(name), g), []).append((x, y))
+        agg = []
+        for (name, g), vals in by_key.items():
+            xs = np.array([v[0] for v in vals])
+            ys = np.array([v[1] for v in vals])
+            agg.append((name, float(xs.mean()), float(ys.mean()), g,
+                        float(xs.std()), float(ys.std()), len(vals)))
+    else:
+        agg = [(n, x, y, g, 0.0, 0.0, 1) for n, x, y, g in pts]
 
     fig, ax = plt.subplots(figsize=(6, 4.5))
-    groups = sorted({p[3] for p in pts})
+    groups = sorted({p[3] for p in agg})
     for g in groups:
-        sel = [p for p in pts if p[3] == g]
-        ax.scatter([p[1] for p in sel], [p[2] for p in sel], label=g, s=30)
-        for name, x, y, _ in sel:
-            ax.annotate(name, (x, y), fontsize=6, xytext=(3, 3), textcoords="offset points")
+        sel = [p for p in agg if p[3] == g]
+        xs = [p[1] for p in sel]
+        ys = [p[2] for p in sel]
+        if any(p[4] or p[5] for p in sel):
+            ax.errorbar(xs, ys, xerr=[p[4] for p in sel], yerr=[p[5] for p in sel],
+                        fmt="o", ms=4, capsize=3, linewidth=1, label=g)
+        else:
+            ax.scatter(xs, ys, label=g, s=30)
+        for name, x, y, _, _, ystd, k in sel:
+            tag = f"{name} (k={k})" if k > 1 else name
+            ax.annotate(tag, (x, y), fontsize=6, xytext=(3, 3), textcoords="offset points")
 
     # non-dominated front: sort by params, keep strictly improving metric
-    srt = sorted(pts, key=lambda p: p[1])
+    srt = sorted(agg, key=lambda p: p[1])
     front, best_y = [], -1.0
     for p in srt:
         if p[2] > best_y:

@@ -203,3 +203,65 @@ def test_tal_degenerate_zero_metric_invariant(rng):
     assert float(t_ts.abs().max()) == 0.0
     # normalizer max(sum, 1) identical -> identical cls loss scaling
     assert max(float(np.asarray(ours_ts).sum()), 1.0) == max(float(t_ts.sum()), 1.0) == 1.0
+
+
+def test_tal_threshold_topk_tie_and_boundary(rng):
+    """Pin the threshold-top-k semantics (VERDICT r2 next #8): selection is
+    `metric >= kth largest AND metric > 0`, so
+
+      * with > topk positive candidates and distinct metrics, exactly topk
+        anchors are selected per gt (identical to the reference's index
+        top-k);
+      * exact ties AT the kth value select all tied anchors (k+t) — the one
+        documented divergence from the reference (which keeps the lowest
+        indices); their target boxes are identical so the box/dfl losses see
+        the same per-anchor targets;
+      * with fewer than topk positive candidates, exactly the positive ones
+        are selected — never zero-metric fillers.
+    """
+    B, nc, k = 1, 1, 10
+    # one gt covering the whole image: every anchor is a candidate
+    gt_bboxes = np.asarray([[[0.0, 0.0, 96.0, 96.0]]], np.float32)
+    gt_labels = np.zeros((B, 1), np.float32)
+    mask_gt = np.ones((B, 1), np.float32)
+    anc = (
+        np.stack(np.meshgrid(np.arange(12), np.arange(7)), -1).reshape(-1, 2).astype(np.float32)
+        * 8 + 4
+    )
+    A = anc.shape[0]
+
+    def run(pd_scores, pd_bboxes):
+        _, ts, fg = task_aligned_assigner(
+            jnp.asarray(pd_scores), jnp.asarray(pd_bboxes), jnp.asarray(anc),
+            jnp.asarray(gt_labels), jnp.asarray(gt_bboxes), jnp.asarray(mask_gt),
+            nc, topk=k, alpha=0.5, beta=6.0,
+        )
+        return np.asarray(ts), np.asarray(fg)
+
+    # all anchors predict the same (perfect) box -> metric driven by score only
+    perfect = np.tile(gt_bboxes[0], (A, 1))[None]
+
+    # distinct scores -> exactly k selected
+    scores = np.linspace(0.1, 0.9, A).astype(np.float32)[None, :, None]
+    # sigmoid never yields these exact values; pass as already-sigmoided scores
+    logits = np.log(scores / (1 - scores))
+    _, fg = run(1 / (1 + np.exp(-logits)), perfect)
+    assert int(fg.sum()) == k
+
+    # 3-way tie at the kth value: k-1 clearly above, 3 tied at the boundary
+    tied = np.full(A, 0.2, np.float32)
+    tied[:9] = 0.9            # top 9 distinct
+    tied[9:12] = 0.5          # 3-way tie for the single remaining slot
+    _, fg = run(tied[None, :, None], perfect)
+    assert int(fg.sum()) == k - 1 + 3 + (A - 12) * 0  # 9 + all 3 tied
+
+    # fewer than k positive candidates: shrink the gt so only 2 anchors are
+    # inside, with predictions matching the small box (positive CIoU)
+    small_gt = np.asarray([[[0.0, 0.0, 17.0, 9.0]]], np.float32)  # centers (4,4),(12,4)
+    small_pred = np.tile(small_gt[0], (A, 1))[None]
+    _, ts, fgv = task_aligned_assigner(
+        jnp.asarray(tied[None, :, None]), jnp.asarray(small_pred), jnp.asarray(anc),
+        jnp.asarray(gt_labels), jnp.asarray(small_gt), jnp.asarray(mask_gt),
+        nc, topk=k, alpha=0.5, beta=6.0,
+    )
+    assert int(np.asarray(fgv).sum()) == 2  # only the positive candidates, no fillers

@@ -62,3 +62,47 @@ def test_mask_showcase(tmp_path):
     m[30:90, 60:64] = 1  # thin vertical vessel
     out = mask_showcase(m, tmp_path / "showcase.png")
     assert out.exists()
+
+
+def _two_fold_grid(tmp_path):
+    """Synthetic 2-fold x 2-model grid (VERDICT r2 next #7 done-criterion)."""
+    runs = []
+    for i, model in enumerate(["cbam_n", "eca_n"]):
+        for fold in range(2):
+            name = f"{model}_fold{fold}"
+            csvp = _synthetic_results(tmp_path / name, seed=10 * i + fold)
+            prof = tmp_path / name / "profiling.yaml"
+            prof.write_text(yaml.safe_dump({"parameters": (i + 1) * 3_000_000}))
+            runs.append({"name": name, "results_csv": csvp, "profiling_yaml": prof,
+                         "group": model.split("_")[0]})
+    return runs
+
+
+def test_strip_fold():
+    from mga_yolo_tpu.utils.plotting.results import strip_fold
+
+    assert strip_fold("cbam_n_fold2") == "cbam_n"
+    assert strip_fold("cbam_n-fold_13") == "cbam_n"
+    assert strip_fold("cbam_n") == "cbam_n"
+
+
+def test_pareto_fold_aggregation(tmp_path):
+    """k-fold repeats collapse to one mean point with std whiskers
+    (reference pareto_performance_size.py:28-34,95-97)."""
+    from mga_yolo_tpu.utils.plotting import pareto_performance
+
+    runs = _two_fold_grid(tmp_path)
+    out = pareto_performance(runs, tmp_path / "pareto_folds.png")
+    assert out.exists() and out.stat().st_size > 1000
+    # non-aggregated still works (4 separate points)
+    out2 = pareto_performance(runs, tmp_path / "pareto_raw.png", aggregate_folds=False)
+    assert out2.exists()
+
+
+def test_model_comparison_fold_bands(tmp_path):
+    from mga_yolo_tpu.utils.plotting import model_comparison
+
+    runs = {f"{m}_fold{f}": _synthetic_results(tmp_path / f"{m}{f}", seed=3 * f + hash(m) % 5)
+            for m in ("cbam_n", "eca_n") for f in range(2)}
+    outs = model_comparison(runs, tmp_path / "cmp_folds", fold_bands=True)
+    assert len(outs) == 3 and all(o.exists() for o in outs)

@@ -158,6 +158,37 @@ def main() -> None:
         out["seg_loss_ms"] = round(timeit(f_seg, seg_logits, seg_masks) * 1e3, 2)
     except Exception as e:
         out["seg_loss_ms"] = f"failed: {type(e).__name__}"
+
+    # fwd+bwd variants: the r3 step decomposition shows the LOSS BACKWARD as
+    # the biggest non-model chunk (~33 ms @ b128); grads flow wrt the inputs
+    # the model produces (det maps / seg logits)
+    @jax.jit
+    def f_det_grad(det_maps, gt_labels, gt_boxes, mask_gt, salt=0.0):
+        def inner(maps):
+            total, _ = v8_detection_loss(
+                [m + salt for m in maps], (8, 16, 32), gt_labels, gt_boxes, mask_gt, NC
+            )
+            return total
+        g = jax.grad(inner)(det_maps)
+        return sum(jnp.sum(x) for x in g)
+
+    @jax.jit
+    def f_seg_grad(seg_logits, seg_masks, salt=0.0):
+        def inner(logits):
+            total, _ = segmentation_loss(
+                {k: v + salt for k, v in logits.items()}, seg_masks, scfg
+            )
+            return total
+        g = jax.grad(inner)(seg_logits)
+        return sum(jnp.sum(x) for x in g.values())
+
+    out["det_loss_fwdbwd_ms"] = round(
+        timeit(f_det_grad, det_maps, gt_labels, gt_boxes, mask_gt) * 1e3, 2
+    )
+    try:
+        out["seg_loss_fwdbwd_ms"] = round(timeit(f_seg_grad, seg_logits, seg_masks) * 1e3, 2)
+    except Exception as e:
+        out["seg_loss_fwdbwd_ms"] = f"failed: {type(e).__name__}"
     print(json.dumps(out))
 
 
