@@ -94,7 +94,11 @@ def task_aligned_assigner(
     #     (lowest index wins) in the reference — a measure-zero event for
     #     continuous fp32 metrics; covered by the degenerate-case invariant
     #     test (tests/test_loss_parity.py).
-    topk_vals = jax.lax.top_k(align_metric, topk)[0]  # (B,M,k)
+    # approx_max_k(recall=1.0) is EXACT and lowers to the TPU PartialReduce
+    # op — measured 2.0x faster than the sort-based lax.top_k at
+    # (128,28,8400) with identical kth values (tools/scripts/bench_topk.py);
+    # on CPU it falls back to the exact sort path.
+    topk_vals = jax.lax.approx_max_k(align_metric, topk, recall_target=1.0)[0]  # (B,M,k)
     kth = topk_vals[..., -1:]  # (B,M,1)
     mask_pos = ((align_metric >= kth) & (align_metric > 0)).astype(align_metric.dtype)
 
@@ -166,6 +170,105 @@ def dfl_loss(pred_dist: jax.Array, target: jax.Array, reg_max: int) -> jax.Array
     return (ce_l * wl + ce_r * wr).mean(-1)
 
 
+# --------------------------------------------------------------- analytic VJPs
+#
+# Autodiff of the DFL decode (softmax·proj) + distribution-focal CE
+# materializes softmax(pd), log_softmax(pd) and a cotangent for each — four
+# (B,A,4,R) HBM tensors (275 MB apiece at b128/640px fp32); the measured loss
+# backward was ~2x the whole model backward per FLOP (bench_loss_grad.py).
+# Both gradients have textbook closed forms that need only p = softmax(pd),
+# and p is *recomputed in the backward from the saved input* (pure remat:
+# same HBM reads, zero extra residency). Two separate custom_vjps — not one
+# fused — because the DFL target is produced by the assigner, which consumes
+# the (stop-grad) decode output: ltrb must exist before `target` does.
+# Reference math: loss.py:87-105 (DFLoss) + nn/modules/block.py:58 (DFL
+# decode); value + gradient equivalence vs autodiff covered by
+# tests/test_loss_parity.py.
+
+
+def _dfl_decode_primal(pd: jax.Array) -> jax.Array:
+    proj = jnp.arange(pd.shape[-1], dtype=pd.dtype)
+    return (jax.nn.softmax(pd, axis=-1) * proj).sum(-1)
+
+
+@jax.custom_vjp
+def dfl_decode(pd: jax.Array) -> jax.Array:
+    """(B,A,4,R) logits -> (B,A,4) expectation ``sum(softmax(pd) * arange(R))``.
+
+    Analytic VJP: d ltrb/dz_j = p_j (j - ltrb)  =>  dz = p * (proj - ltrb) * g.
+    """
+    return _dfl_decode_primal(pd)
+
+
+def _dfl_decode_fwd(pd):
+    ltrb = _dfl_decode_primal(pd)
+    return ltrb, (pd, ltrb)
+
+
+def _dfl_decode_bwd(res, g_ltrb):
+    pd, ltrb = res
+    proj = jnp.arange(pd.shape[-1], dtype=pd.dtype)
+    p = jax.nn.softmax(pd, axis=-1)  # recompute — no stored (B,A,4,R) activation
+    return (p * (proj - ltrb[..., None]) * g_ltrb[..., None],)
+
+
+dfl_decode.defvjp(_dfl_decode_fwd, _dfl_decode_bwd)
+
+
+def _dfl_interp(target: jax.Array, reg_max: int):
+    """Clip + split a continuous bin target into (tl, tr, wl, wr)."""
+    target = jnp.clip(target, 0, reg_max - 1 - 0.01)
+    tl = target.astype(jnp.int32)
+    tr = jnp.minimum(tl + 1, reg_max - 1)
+    wl = tr.astype(target.dtype) - target
+    return tl, tr, wl, 1.0 - wl
+
+
+def _dfl_ce_primal(pd: jax.Array, target: jax.Array) -> jax.Array:
+    reg_max = pd.shape[-1]
+    tl, tr, wl, wr = _dfl_interp(target, reg_max)
+    lse = jax.nn.logsumexp(pd, axis=-1)  # (B,A,4)
+    idx = jnp.arange(reg_max, dtype=jnp.int32)
+    # where+sum select (never take_along_axis on a 16-wide minor dim — see
+    # dfl_loss note); CE = lse - z_t
+    z_tl = jnp.sum(jnp.where(idx == tl[..., None], pd, 0), axis=-1)
+    z_tr = jnp.sum(jnp.where(idx == tr[..., None], pd, 0), axis=-1)
+    ce = (lse - z_tl) * wl + (lse - z_tr) * wr  # (B,A,4)
+    return ce.mean(-1)  # (B,A)
+
+
+@jax.custom_vjp
+def dfl_ce(pd: jax.Array, target: jax.Array) -> jax.Array:
+    """Per-anchor distribution-focal CE: identical value to :func:`dfl_loss`.
+
+    pd (B,A,4,R) logits, target (B,A,4) continuous bins (stop-grad GT).
+    Analytic VJP (softmax-CE form): dz = (p - q) * g/4 with
+    q = wl*onehot(tl) + wr*onehot(tr).
+    """
+    return _dfl_ce_primal(pd, target)
+
+
+def _dfl_ce_fwd(pd, target):
+    return _dfl_ce_primal(pd, target), (pd, target)
+
+
+def _dfl_ce_bwd(res, g_dfl):
+    pd, target = res
+    reg_max = pd.shape[-1]
+    tl, tr, wl, wr = _dfl_interp(target, reg_max)
+    p = jax.nn.softmax(pd, axis=-1)  # recompute
+    idx = jnp.arange(reg_max, dtype=jnp.int32)
+    q = (
+        jnp.where(idx == tl[..., None], wl[..., None], 0)
+        + jnp.where(idx == tr[..., None], wr[..., None], 0)
+    )  # interpolated one-hot target
+    g_side = (g_dfl / 4.0)[..., None, None]  # d dfl_pa / d ce per side
+    return (p - q) * g_side, None  # target is GT: no gradient
+
+
+dfl_ce.defvjp(_dfl_ce_fwd, _dfl_ce_bwd)
+
+
 def v8_detection_loss(
     det_maps: Sequence[jax.Array],
     strides: Sequence[int],
@@ -189,10 +292,9 @@ def v8_detection_loss(
     shapes = [(m.shape[1], m.shape[2]) for m in det_maps]
     anchor_points, stride_tensor = make_anchors(shapes, strides, 0.5, dtype=dtype)
 
-    # decode to xyxy in feature units
+    # decode to xyxy in feature units (analytic-VJP expectation decode)
     pd = pred_distri.reshape(B, A, 4, reg_max)
-    proj = jnp.arange(reg_max, dtype=dtype)
-    ltrb = (jax.nn.softmax(pd, axis=-1) * proj).sum(-1)
+    ltrb = dfl_decode(pd)
     pred_bboxes = dist2bbox(ltrb, anchor_points[None], xywh=False)  # (B,A,4)
 
     target_bboxes, target_scores, fg_mask = jax.lax.stop_gradient(
@@ -222,9 +324,9 @@ def v8_detection_loss(
     iou = bbox_iou_ciou(pred_bboxes, tb_feat)  # (B,A)
     loss_iou = (((1.0 - iou) * weight)).sum() / target_scores_sum
 
-    # ---- dfl ----
+    # ---- dfl (analytic-VJP CE; value-identical to dfl_loss) ----
     target_ltrb = bbox2dist(anchor_points[None], tb_feat, reg_max - 1)  # (B,A,4)
-    per_anchor_dfl = dfl_loss(pd, target_ltrb, reg_max)  # (B,A)
+    per_anchor_dfl = dfl_ce(pd, jax.lax.stop_gradient(target_ltrb))  # (B,A)
     loss_dfl = (per_anchor_dfl * weight).sum() / target_scores_sum
 
     loss_box = loss_iou * cfg.box

@@ -114,6 +114,12 @@ class MGAModel(nn.Module):
     use_pallas: bool = False  # fused Pallas kernels in attention blocks (TPU)
     lane_pack: bool = False   # folded-conv lane packing for small-C layers (TPU)
     lane_pack_lanes: int = 128  # packing target: lanes per packed tensor (128/256)
+    # "all" packs every eligible region (backbone prefix + P3 neck chain);
+    # "prefix" restricts to the leading backbone chain. With the analytic
+    # DFL VJPs in place (losses/detection.py) "all" measured fastest at
+    # every batch tried incl. b128 (1024.6 vs 1008.3 img/s — BASELINE.md r3);
+    # "prefix" is kept as a manual escape hatch for HBM-pressure regimes.
+    lane_pack_regions: str = "all"
 
     def setup(self):
         strides = compute_strides(self.spec)
@@ -121,7 +127,14 @@ class MGAModel(nn.Module):
         if self.lane_pack:
             from mga_yolo_tpu.models.lanepack import build_packed_node, plan_packed_section
 
-            self._pack_plan = plan_packed_section(self.spec, target_lanes=self.lane_pack_lanes)
+            plan = plan_packed_section(self.spec, target_lanes=self.lane_pack_lanes)
+            if self.lane_pack_regions == "prefix":
+                keep, i = {}, min(plan) if plan else 0
+                while i in plan:
+                    keep[i] = plan[i]
+                    i += 1
+                plan = keep
+            self._pack_plan = plan
         else:
             self._pack_plan = {}
         mods = {}
@@ -275,14 +288,29 @@ def create_model(
     tap_indices=(),
     use_pallas: bool | str | None = False,
     lane_pack: bool | str | None = False,
+    lane_pack_regions: str = "auto",
+    batch_per_device: int | None = None,
     training: bool = True,
 ) -> tuple[MGAModel, GraphSpec]:
     """Parse YAML + build the model in one call. ``use_pallas`` and
-    ``lane_pack`` accept True/False/"auto" (see the resolvers above)."""
+    ``lane_pack`` accept True/False/"auto" (see the resolvers above).
+
+    ``lane_pack_regions="auto"`` resolves to "all": with the analytic DFL
+    VJPs relieving loss-backward HBM pressure, packing every eligible region
+    measured fastest at every batch tried incl. b128@640 on v5e
+    (BASELINE.md r3). Pass "prefix" to restrict packing to the leading
+    backbone chain (manual escape hatch for HBM-tight regimes).
+    ``batch_per_device`` is accepted for forward-compat of that heuristic.
+    """
     from mga_yolo_tpu.graph import parse_graph
 
+    del batch_per_device  # no longer steers region choice (see docstring)
     spec = parse_graph(cfg, scale=scale, nc=nc)
     flag = resolve_use_pallas(use_pallas, training=training)
     pack, lanes = resolve_lane_pack(lane_pack, training=training)
+    regions = lane_pack_regions
+    if regions == "auto":
+        regions = "all"
     return MGAModel(spec=spec, tap_indices=tuple(tap_indices), use_pallas=flag,
-                    lane_pack=pack, lane_pack_lanes=lanes), spec
+                    lane_pack=pack, lane_pack_lanes=lanes,
+                    lane_pack_regions=regions), spec

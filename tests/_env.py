@@ -14,8 +14,17 @@ import os
 import sys
 
 
-def cpu_subprocess_env(device_count: int = 2) -> dict:
-    """Environment for a CPU-only child python, with the TPU tunnel stripped."""
+def cpu_subprocess_env(device_count: int = 2, compile_cache_dir: str | None = None) -> dict:
+    """Environment for a CPU-only child python, with the TPU tunnel stripped.
+
+    ``compile_cache_dir`` enables the JAX persistent compilation cache (all
+    thresholds zeroed). Multi-process CPU tests MUST share one cache dir
+    across all workers and retries: XLA:CPU's Gloo rendezvous waits only 30 s
+    (hardcoded) in GetKeyValue, and on this 1-core box two workers compiling
+    ~120 identical programs serially accumulate far more compile skew than
+    that — the laggard then times out mid-cluster. A shared cache lets the
+    laggard hit the leader's entries and collapses the skew.
+    """
     env = {
         k: v
         for k, v in os.environ.items()
@@ -32,6 +41,10 @@ def cpu_subprocess_env(device_count: int = 2) -> dict:
     env["XLA_FLAGS"] = (
         base_flags + f" --xla_force_host_platform_device_count={device_count}"
     ).strip()
+    if compile_cache_dir is not None:
+        env["JAX_COMPILATION_CACHE_DIR"] = str(compile_cache_dir)
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+        env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"
     return env
 
 

@@ -265,3 +265,49 @@ def test_tal_threshold_topk_tie_and_boundary(rng):
         nc, topk=k, alpha=0.5, beta=6.0,
     )
     assert int(np.asarray(fgv).sum()) == 2  # only the positive candidates, no fillers
+
+
+def test_dfl_analytic_vjp_matches_autodiff(rng):
+    """The custom-VJP decode/CE pair must equal plain-autodiff values AND
+    gradients (the analytic forms replace four (B,A,4,R) HBM cotangent
+    tensors in the loss backward — bench_loss_grad.py)."""
+    import jax.numpy as jnp
+
+    from mga_yolo_tpu.losses.detection import dfl_ce, dfl_decode, dfl_loss
+
+    B, A, R = 2, 37, 16
+    pd = jnp.asarray(rng.normal(size=(B, A, 4, R)) * 3, jnp.float32)
+    target = jnp.asarray(rng.uniform(0, R - 1, (B, A, 4)), jnp.float32)
+    # include exact-integer targets (wl=1, wr=0 path) and the clip boundary
+    target = target.at[0, :5].set(jnp.floor(target[0, :5]))
+    target = target.at[0, 5].set(R - 1.0)
+
+    def ref_decode(z):
+        proj = jnp.arange(R, dtype=z.dtype)
+        return (jax.nn.softmax(z, axis=-1) * proj).sum(-1)
+
+    # decode: value + grad through a nonlinear scalarization
+    def s_new(z):
+        return jnp.sin(dfl_decode(z)).sum()
+
+    def s_ref(z):
+        return jnp.sin(ref_decode(z)).sum()
+
+    v_new, g_new = jax.value_and_grad(s_new)(pd)
+    v_ref, g_ref = jax.value_and_grad(s_ref)(pd)
+    np.testing.assert_allclose(np.asarray(v_new), np.asarray(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
+
+    # dfl CE: value identical to dfl_loss, grad identical to its autodiff
+    w = jnp.asarray(rng.uniform(0, 1, (B, A)), jnp.float32)
+
+    def c_new(z):
+        return (dfl_ce(z, target) * w).sum()
+
+    def c_ref(z):
+        return (dfl_loss(z, target, R) * w).sum()
+
+    v_new, g_new = jax.value_and_grad(c_new)(pd)
+    v_ref, g_ref = jax.value_and_grad(c_ref)(pd)
+    np.testing.assert_allclose(np.asarray(v_new), np.asarray(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
