@@ -48,6 +48,23 @@ def main(argv=None) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
 
     sinks: dict[str, VideoSink] = {}   # one annotated-video writer per source video
+    # recursive dir sources can contain same-named files (a/clip.mp4,
+    # b/clip.mp4); key outputs by a per-path unique stem so writers never
+    # truncate each other's files
+    _stems: dict[str, str] = {}
+    _used: set[str] = set()
+
+    def unique_stem(frame) -> str:
+        s = _stems.get(frame.path)
+        if s is None:
+            s, n = frame.stem, 1
+            while s in _used:
+                n += 1
+                s = f"{frame.stem}_{n}"
+            _used.add(s)
+            _stems[frame.path] = s
+        return s
+
     n_img = n_frames = 0
     try:
         for frame, r in pred.stream(args.source, batch_size=args.batch,
@@ -58,11 +75,11 @@ def main(argv=None) -> None:
                 if sink is None:
                     suffix = ".avi" if frame.path.lower().endswith(".avi") else ".mp4"
                     sink = sinks[frame.path] = VideoSink(
-                        out_dir / f"{frame.stem}_pred{suffix}", fps=frame.fps)
+                        out_dir / f"{unique_stem(frame)}_pred{suffix}", fps=frame.fps)
                 sink.write(annotated)
                 n_frames += 1
                 if args.save_frame_masks or args.save_feature_maps:
-                    tag = f"{frame.stem}_f{frame.index:05d}"
+                    tag = f"{unique_stem(frame)}_f{frame.index:05d}"
                     if args.save_frame_masks:
                         for sk, m in r.mga_masks.items():
                             cv2.imwrite(str(out_dir / f"{tag}_mask_{sk}.png"),
@@ -70,7 +87,7 @@ def main(argv=None) -> None:
                     if args.save_feature_maps:
                         np.savez(out_dir / f"{tag}_masks.npz", **r.mga_masks)
             else:
-                stem = frame.stem
+                stem = unique_stem(frame)
                 cv2.imwrite(str(out_dir / f"{stem}_pred.jpg"), annotated)
                 for sk, m in r.mga_masks.items():
                     cv2.imwrite(str(out_dir / f"{stem}_mask_{sk}.png"),

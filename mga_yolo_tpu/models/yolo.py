@@ -172,7 +172,10 @@ class MGAModel(nn.Module):
             if node.index in plan:
                 f_in, f_out = plan[node.index]
                 src = node.inputs[0]
-                if packed_prev is not None and src == node.index - 1:
+                # chain through the packed value only when the previous
+                # node's packing factor matches this node's expected f_in
+                # (two adjacent regions with different factors must relayout)
+                if packed_prev is not None and src == node.index - 1 and packed_prev[1] == f_in:
                     xin = packed_prev[0]
                 else:  # region entry: one relayout into the packed layout
                     base = x if src < 0 else (prev if src == node.index - 1 else cache[src])
@@ -237,6 +240,8 @@ def resolve_use_pallas(mode: bool | str | None, *, training: bool) -> bool:
     """
     if isinstance(mode, bool):
         return mode
+    if isinstance(mode, int):  # YAML `use_pallas: 1` parses as int, not bool
+        return mode > 0
     if isinstance(mode, str) and mode.lower() in {"1", "true", "yes", "on"}:
         return True
     if isinstance(mode, str) and mode.lower() in {"0", "false", "no", "off"}:
@@ -289,7 +294,6 @@ def create_model(
     use_pallas: bool | str | None = False,
     lane_pack: bool | str | None = False,
     lane_pack_regions: str = "auto",
-    batch_per_device: int | None = None,
     training: bool = True,
 ) -> tuple[MGAModel, GraphSpec]:
     """Parse YAML + build the model in one call. ``use_pallas`` and
@@ -300,11 +304,9 @@ def create_model(
     measured fastest at every batch tried incl. b128@640 on v5e
     (BASELINE.md r3). Pass "prefix" to restrict packing to the leading
     backbone chain (manual escape hatch for HBM-tight regimes).
-    ``batch_per_device`` is accepted for forward-compat of that heuristic.
     """
     from mga_yolo_tpu.graph import parse_graph
 
-    del batch_per_device  # no longer steers region choice (see docstring)
     spec = parse_graph(cfg, scale=scale, nc=nc)
     flag = resolve_use_pallas(use_pallas, training=training)
     pack, lanes = resolve_lane_pack(lane_pack, training=training)

@@ -125,9 +125,15 @@ class MGAPredictor:
 
         pending_frames: list = []
         imgs, metas = [], []
+        full_seen = False  # a full-size batch has been compiled already
 
         def flush():
-            results = self._infer_batch(imgs, metas, batch_size)
+            # Pad the tail to the compiled shape only once that shape exists;
+            # a small source (fewer frames than batch_size) runs ONE exact-size
+            # forward instead of padding 1 frame to 16 (same policy as
+            # __call__'s `len(items) > batch_size` condition).
+            bs = batch_size if full_seen else len(imgs)
+            results = self._infer_batch(imgs, metas, bs)
             for fr, r in zip(pending_frames, results):
                 yield fr, r
             pending_frames.clear()
@@ -142,6 +148,7 @@ class MGAPredictor:
             metas.append((frame.path, frame.img.shape[:2], lb["ratio_pad"]))
             if len(imgs) == batch_size:
                 yield from flush()
+                full_seen = True
         if imgs:
             yield from flush()
 

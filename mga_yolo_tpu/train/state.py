@@ -308,9 +308,12 @@ def host_barrier(name: str, timeout_ms: int = 1_200_000) -> None:
     """
     if jax.process_count() <= 1:
         return
-    from jax._src import distributed
+    try:  # private module: a jax upgrade may move it — degrade to no-op
+        from jax._src import distributed
 
-    client = distributed.global_state.client
+        client = distributed.global_state.client
+    except (ImportError, AttributeError):
+        return
     if client is not None:
         client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
 

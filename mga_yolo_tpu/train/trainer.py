@@ -75,7 +75,6 @@ class MGATrainer:
             tap_indices=tuple(t.save_layers) if t.save_fm else (),
             use_pallas=t.use_pallas,
             lane_pack=t.lane_pack,
-            batch_per_device=max(1, t.batch) // max(1, jax.device_count()),
             training=True,  # "auto" resolves to XLA under grad (measured faster)
         )
         self.strides = (8, 16, 32)

@@ -183,11 +183,19 @@ def pareto_performance(
         pts.append((name, params, best, r.get("group", "run")))
 
     if aggregate_folds:
-        by_key: dict[tuple, list] = {}
-        for name, x, y, g in pts:
-            by_key.setdefault((strip_fold(name), g), []).append((x, y))
+        # only runs carrying an actual fold token are k-fold repeats; two
+        # distinct runs that merely share a name must stay separate points
+        by_key: dict[tuple, tuple] = {}
+        for i, (name, x, y, g) in enumerate(pts):
+            if _FOLD_RE.search(str(name)):
+                key = (strip_fold(name), g)
+            else:
+                key = (i, g)  # unique: never merged
+            disp = strip_fold(name) if _FOLD_RE.search(str(name)) else name
+            by_key.setdefault(key, (disp, g, []))[2].append((x, y))
         agg = []
-        for (name, g), vals in by_key.items():
+        for disp, g, vals in by_key.values():
+            name = disp
             xs = np.array([v[0] for v in vals])
             ys = np.array([v[1] for v in vals])
             agg.append((name, float(xs.mean()), float(ys.mean()), g,

@@ -115,6 +115,10 @@ def test_resolve_use_pallas_modes():
     assert resolve_use_pallas(False, training=False) is False
     assert resolve_use_pallas("true", training=True) is True
     assert resolve_use_pallas("off", training=False) is False
+    # YAML `use_pallas: 1` parses as int — must mean the explicit bool,
+    # not fall through to "auto"
+    assert resolve_use_pallas(1, training=True) is True
+    assert resolve_use_pallas(0, training=False) is False
     assert resolve_use_pallas("auto", training=True) is False
     # tests run on CPU, so inference-auto resolves False here; on TPU it's True
     import jax

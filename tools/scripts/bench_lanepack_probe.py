@@ -40,28 +40,10 @@ def time_chain(run_one) -> float:
     return (float(np.median(t2s)) - float(np.median(t1s))) / (K2 - K1)
 
 
-def expand_kernel(w, f, s):
-    kh, kw, Cin, Cout = w.shape
-    fo = f // s
-    pad = kw // 2
-    K = np.zeros((kh, 3, Cin * f, Cout * fo), np.float32)
-    wn = np.asarray(w, np.float32)
-    for t in range(fo):
-        for dw in range(kw):
-            rel = s * t + dw - pad
-            bwo, s_in = rel // f, rel % f
-            K[:, bwo + 1, s_in::f, t::fo] += wn[:, dw, :, :]
-    return jnp.asarray(K, w.dtype)
-
-
 def bench_pair(name, H, W, Cin, Cout, k, s, f):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, H, W, Cin)), jnp.bfloat16)
     w = jnp.asarray(rng.standard_normal((k, k, Cin, Cout)) * 0.1, jnp.bfloat16)
-    xp = jnp.asarray(
-        np.asarray(x).reshape(BATCH, H, W // f, f, Cin).transpose(0, 1, 2, 4, 3)
-        .reshape(BATCH, H, W // f, Cin * f)
-    )
 
     def plain(wv, xx, salt):
         y = jax.lax.conv_general_dilated(
