@@ -60,7 +60,7 @@ class DataConfig:
     imgsz: int = 640
     max_boxes: int = 64            # static GT padding per image
     workers: int = 8
-    cache: bool = False
+    cache: "bool | str" = False   # False | True/"ram" (decoded RAM cache) | "disk" (.npy sidecars)
     rect: bool = False             # rectangular val batching (static ar buckets)
     fraction: float = 1.0
     single_cls: bool = False
@@ -127,6 +127,10 @@ class TrainConfig:
     # (models/lanepack.py): True / False / "auto" (auto = on for TPU training,
     # where the 128-lane padding of C<128 NHWC tensors dominates the backward)
     lane_pack: "bool | str" = "auto"
+    # gradient checkpointing of backbone/neck blocks: True / False / "auto"
+    # ("auto" = off, the conservative default; explicit True shrinks live
+    # activation memory — larger per-chip batches — at recompute cost)
+    remat: "bool | str" = "auto"
     save_fm: bool = False
     save_layers: tuple = (23, 25, 27)
     save_fm_max: int = 4
@@ -172,6 +176,10 @@ def _coerce(value: Any, target: Any) -> Any:
     """Best-effort coercion of YAML values to the dataclass field's type."""
     if isinstance(target, bool):
         if isinstance(value, str):
+            # `cache: ram|disk` (reference cfg surface, default.yaml `cache`)
+            # must survive coercion into the bool-defaulted field
+            if value.lower() in {"ram", "disk"}:
+                return value.lower()
             return value.lower() in {"1", "true", "yes", "on"}
         return bool(value)
     if isinstance(target, tuple) and isinstance(value, (list, tuple)):

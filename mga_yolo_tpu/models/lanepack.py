@@ -343,22 +343,29 @@ def plan_packed_section(spec, max_f: int = 32, target_lanes: int = 128) -> dict[
     return plan
 
 
-def build_packed_node(node, plan: dict[int, tuple[int, int]], c_in: int):
-    """Instantiate the packed module for a planned node (same name as unpacked)."""
+def build_packed_node(node, plan: dict[int, tuple[int, int]], c_in: int,
+                      remat: bool = False):
+    """Instantiate the packed module for a planned node (same name as unpacked).
+
+    ``remat=True`` wraps the block in ``nn.remat`` (static ``train`` at call
+    position 2), mirroring models/yolo.py's unpacked blocks."""
     from mga_yolo_tpu.graph import layer_param_name
+
+    def rc(cls):
+        return nn.remat(cls, static_argnums=(2,)) if remat else cls
 
     f_in, _ = plan[node.index]
     name = layer_param_name(node)
     if node.module == "Conv":
         k = node.args[1] if len(node.args) > 1 else 1
         s = node.args[2] if len(node.args) > 2 else 1
-        return PackedConvBN(c_in, node.c_out, k, s, f_in, name=name)
+        return rc(PackedConvBN)(c_in, node.c_out, k, s, f_in, name=name)
     if node.module == "C2f":
         shortcut = node.args[1] if len(node.args) > 1 else False
-        return PackedC2f(c_in, node.c_out, n=node.repeats, shortcut=shortcut,
-                         f=f_in, name=name)
+        return rc(PackedC2f)(c_in, node.c_out, n=node.repeats, shortcut=shortcut,
+                             f=f_in, name=name)
     if node.module == "C3k2":
         c3k = node.args[1] if len(node.args) > 1 else False
-        return PackedC3k2(c_in, node.c_out, n=node.repeats, c3k=bool(c3k),
-                          f=f_in, name=name)
+        return rc(PackedC3k2)(c_in, node.c_out, n=node.repeats, c3k=bool(c3k),
+                              f=f_in, name=name)
     raise ValueError(f"unpackable module {node.module!r}")

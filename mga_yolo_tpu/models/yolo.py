@@ -52,32 +52,45 @@ def compute_strides(spec: GraphSpec) -> dict[int, int]:
     return strides
 
 
-def build_node(node: NodeSpec, spec: GraphSpec, strides: dict[int, int], use_pallas: bool = False) -> Optional[nn.Module]:
-    """Instantiate the Flax module for one graph node (None for inline ops)."""
+def build_node(node: NodeSpec, spec: GraphSpec, strides: dict[int, int], use_pallas: bool = False,
+               remat: bool = False) -> Optional[nn.Module]:
+    """Instantiate the Flax module for one graph node (None for inline ops).
+
+    ``remat=True`` wraps the heavy single-input blocks (Conv/C2f/C3/C3k2/SPPF)
+    in ``nn.remat`` (gradient checkpointing): the backward recomputes the
+    block's activations instead of reading them back from HBM — a FLOPs-for-
+    bandwidth trade aimed at the bandwidth-bound train backward (param names
+    are unchanged by the lifted transform, so checkpoints are compatible).
+    """
     m, a = node.module, node.args
     name = layer_param_name(node)
+
+    def rc(cls):
+        # static_argnums counts self at 0, so (x, train) puts train at 2
+        return nn.remat(cls, static_argnums=(2,)) if remat else cls
+
     if m == "Conv":
         c2 = a[0]
         k = a[1] if len(a) > 1 else 1
         s = a[2] if len(a) > 2 else 1
-        return L.ConvBN(c2, k, s, name=name)
+        return rc(L.ConvBN)(c2, k, s, name=name)
     if m == "DWConv":
         c2 = a[0]
         k = a[1] if len(a) > 1 else 1
         s = a[2] if len(a) > 2 else 1
-        return L.DWConv(c2, k, s, name=name)
+        return rc(L.DWConv)(c2, k, s, name=name)
     if m == "C2f":
         shortcut = a[1] if len(a) > 1 else False
-        return L.C2f(a[0], n=node.repeats, shortcut=shortcut, name=name)
+        return rc(L.C2f)(a[0], n=node.repeats, shortcut=shortcut, name=name)
     if m == "C3":
         shortcut = a[1] if len(a) > 1 else True
-        return L.C3(a[0], n=node.repeats, shortcut=shortcut, name=name)
+        return rc(L.C3)(a[0], n=node.repeats, shortcut=shortcut, name=name)
     if m == "C3k2":
         c3k = a[1] if len(a) > 1 else False
-        return L.C3k2(a[0], n=node.repeats, c3k=bool(c3k), name=name)
+        return rc(L.C3k2)(a[0], n=node.repeats, c3k=bool(c3k), name=name)
     if m == "SPPF":
         k = a[1] if len(a) > 1 else 5
-        return L.SPPF(a[0], k=k, name=name)
+        return rc(L.SPPF)(a[0], k=k, name=name)
     if m == "MGAMaskHead":
         return MGAMaskHead(hidden=a[0], out_ch=a[1] if len(a) > 1 else 1, name=name)
     if m == "MaskCBAM":
@@ -120,6 +133,11 @@ class MGAModel(nn.Module):
     # every batch tried incl. b128 (1024.6 vs 1008.3 img/s — BASELINE.md r3);
     # "prefix" is kept as a manual escape hatch for HBM-pressure regimes.
     lane_pack_regions: str = "all"
+    # gradient checkpointing of backbone/neck blocks (nn.remat): recompute
+    # block activations in the backward instead of round-tripping them
+    # through HBM — a lever for the bandwidth-bound train backward and for
+    # fitting larger per-chip batches (b256 @640 OOMs without it)
+    remat: bool = False
 
     def setup(self):
         strides = compute_strides(self.spec)
@@ -142,9 +160,11 @@ class MGAModel(nn.Module):
             if node.index in self._pack_plan:
                 from mga_yolo_tpu.models.lanepack import build_packed_node
 
-                mods[node.index] = build_packed_node(node, self._pack_plan, node.c_in)
+                mods[node.index] = build_packed_node(
+                    node, self._pack_plan, node.c_in, remat=self.remat
+                )
                 continue
-            mod = build_node(node, self.spec, strides, self.use_pallas)
+            mod = build_node(node, self.spec, strides, self.use_pallas, remat=self.remat)
             if mod is not None:
                 mods[node.index] = mod
         self.blocks = mods
@@ -180,7 +200,8 @@ class MGAModel(nn.Module):
                 else:  # region entry: one relayout into the packed layout
                     base = x if src < 0 else (prev if src == node.index - 1 else cache[src])
                     xin = pack_width(base, f_in)
-                out_p = self.blocks[node.index](xin, train=train)
+                # positional `train`: nn.remat's static_argnums sees index 2
+                out_p = self.blocks[node.index](xin, train)
                 packed_prev = (out_p, f_out)
                 out = unpack_width(out_p, f_out)
                 if node.index in self.tap_indices:
@@ -211,7 +232,7 @@ class MGAModel(nn.Module):
                 out = self.blocks[node.index](ins, train=train)
                 det_out = out
             else:
-                out = self.blocks[node.index](ins[0], train=train)
+                out = self.blocks[node.index](ins[0], train)
 
             if m == "MGAMaskHead" and node.scale_name:
                 seg[node.scale_name] = out
@@ -286,6 +307,30 @@ def resolve_lane_pack(mode: bool | str | int | None, *, training: bool) -> tuple
         return False, 128
 
 
+def resolve_remat(mode: bool | str | int | None, *, training: bool) -> bool:
+    """Mode-aware resolution of the gradient-checkpointing flag.
+
+    ``"auto"`` currently resolves to False everywhere — the conservative
+    default until the rematted backward is measured faster on hardware
+    (BASELINE.md records the A/B). The explicit lever exists because remat
+    shrinks live activation memory (larger per-chip batches, e.g. b256 @640
+    OOMs without it) and trades recompute FLOPs for HBM bandwidth, which can
+    win when the backward is bandwidth-bound. Remat is meaningless outside
+    training (no backward), so inference always resolves False unless forced.
+    """
+    if isinstance(mode, bool):
+        return mode
+    if isinstance(mode, int):
+        return mode > 0
+    if isinstance(mode, str):
+        low = mode.lower()
+        if low in {"1", "true", "yes", "on"}:
+            return True
+        if low in {"0", "false", "no", "off"}:
+            return False
+    return False
+
+
 def create_model(
     cfg: str | dict,
     scale: str | None = None,
@@ -294,6 +339,7 @@ def create_model(
     use_pallas: bool | str | None = False,
     lane_pack: bool | str | None = False,
     lane_pack_regions: str = "auto",
+    remat: bool | str | None = False,
     training: bool = True,
 ) -> tuple[MGAModel, GraphSpec]:
     """Parse YAML + build the model in one call. ``use_pallas`` and
@@ -315,4 +361,5 @@ def create_model(
         regions = "all"
     return MGAModel(spec=spec, tap_indices=tuple(tap_indices), use_pallas=flag,
                     lane_pack=pack, lane_pack_lanes=lanes,
-                    lane_pack_regions=regions), spec
+                    lane_pack_regions=regions,
+                    remat=resolve_remat(remat, training=training)), spec

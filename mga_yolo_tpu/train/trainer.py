@@ -75,6 +75,7 @@ class MGATrainer:
             tap_indices=tuple(t.save_layers) if t.save_fm else (),
             use_pallas=t.use_pallas,
             lane_pack=t.lane_pack,
+            remat=getattr(t, "remat", "auto"),
             training=True,  # "auto" resolves to XLA under grad (measured faster)
         )
         self.strides = (8, 16, 32)

@@ -72,8 +72,26 @@ def main() -> None:
         acc = acc + sum(jnp.sum(s.astype(jnp.float32)) for s in out["seg"].values())
         return acc
 
+    def fwd_eval_no_loss(params, batch_stats, batch, rng, salt):
+        # BN in eval mode (running stats, no batch reductions): the delta vs
+        # fwd_no_loss isolates BN train-mode cost (stat computation forward +
+        # the two-reduction BN backward) plus gater sampling
+        images = S.normalize_images(batch["image"]).astype(jnp.bfloat16) + salt
+        fwd = {k: v for k, v in params.items() if k != "mtl_log_vars"}
+        fwd = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if jnp.issubdtype(a.dtype, jnp.floating) else a, fwd
+        )
+        mv = {"params": fwd}
+        if batch_stats:
+            mv["batch_stats"] = batch_stats
+        out = model.apply(mv, images, train=False, rngs={"gater": rng, "dropout": rng})
+        acc = sum(jnp.sum(m.astype(jnp.float32)) for m in out["det"][1])
+        acc = acc + sum(jnp.sum(s.astype(jnp.float32)) for s in out["seg"].values())
+        return acc
+
     model_fwd = jax.jit(fwd_no_loss)
     model_grad = jax.jit(jax.grad(fwd_no_loss))
+    model_grad_eval = jax.jit(jax.grad(fwd_eval_no_loss))
     fwd_only = jax.jit(loss_value)
     grad_fn = jax.jit(jax.grad(loss_value))
 
@@ -115,8 +133,14 @@ def main() -> None:
         leaf = jax.tree_util.tree_leaves(g)[0]
         return (jnp.sum(leaf) * 1e-20).astype(jnp.bfloat16)
 
+    def run_model_grad_eval(salt):
+        g = model_grad_eval(st.params, st.batch_stats, data, rngk, salt)
+        leaf = jax.tree_util.tree_leaves(g)[0]
+        return (jnp.sum(leaf) * 1e-20).astype(jnp.bfloat16)
+
     t_m = time_chain(run_model)
     t_mg = time_chain(run_model_grad)
+    t_mge = time_chain(run_model_grad_eval)
     t_f = time_chain(run_fwd)
     t_g = time_chain(run_grad)
 
@@ -138,6 +162,8 @@ def main() -> None:
         "imgsz": IMGSZ, "batch": BATCH,
         "model_fwd_ms": round(t_m * 1e3, 2),
         "model_fwd_bwd_ms": round(t_mg * 1e3, 2),
+        "model_fwd_bwd_evalbn_ms": round(t_mge * 1e3, 2),
+        "bn_train_mode_cost_ms": round((t_mg - t_mge) * 1e3, 2),
         "loss_ms": round((t_f - t_m) * 1e3, 2),
         "fwd_loss_ms": round(t_f * 1e3, 2),
         "fwd_bwd_ms": round(t_g * 1e3, 2),

@@ -56,7 +56,8 @@ def main() -> None:
     model, spec = create_model(f"configs/models/yolov8_{variant}.yaml", scale=scale, nc=1,
                                use_pallas=os.environ.get("MGA_BENCH_PALLAS", "1") == "1",
                                lane_pack=os.environ.get("MGA_BENCH_LANEPACK", "auto"),
-                               lane_pack_regions=os.environ.get("MGA_BENCH_REGIONS", "auto"))
+                               lane_pack_regions=os.environ.get("MGA_BENCH_REGIONS", "auto"),
+                               remat=os.environ.get("MGA_BENCH_REMAT", "0"))
     st = S.create_train_state(model, jax.random.PRNGKey(0), imgsz=256)
     mesh = S.data_mesh(jax.devices()[:1])
     step_fn = S.jit_train_step(
