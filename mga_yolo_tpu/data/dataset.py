@@ -21,6 +21,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import math
+import os
 from pathlib import Path
 from typing import Iterator, Optional, Sequence
 
@@ -230,6 +231,44 @@ def load_labels_cached(img_files: list[Path], split: str) -> list[np.ndarray]:
     return labels
 
 
+def resolve_cache_mode(value) -> Optional[str]:
+    """Normalize the ``cache`` config value to None / "ram" / "disk".
+
+    Mirrors the reference surface (`external/ultralytics/.../data/base.py:131-134`:
+    ``cache = True | False | None | "ram" | "disk"``; True means "ram").
+    """
+    if isinstance(value, str):
+        low = value.lower()
+        if low == "disk":
+            return "disk"
+        if low in {"ram", "1", "true", "yes", "on"}:
+            return "ram"
+        return None
+    return "ram" if value else None
+
+
+def check_cache_ram(sample_bytes: int, n: int, safety: float = 1.1) -> bool:
+    """True when ``n`` decoded images (est. ``sample_bytes`` each) fit in
+    available RAM with a safety margin (reference base.py check_cache_ram)."""
+    try:
+        avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError, AttributeError):
+        return False
+    return sample_bytes * n * safety < avail
+
+
+def check_cache_disk(sample_bytes: int, n: int, path: Path, safety: float = 1.1) -> bool:
+    """True when ``n`` .npy sidecars fit in the filesystem holding ``path``
+    (reference base.py check_cache_disk)."""
+    import shutil
+
+    try:
+        free = shutil.disk_usage(path).free
+    except OSError:
+        return False
+    return sample_bytes * n * safety < free
+
+
 class MGADataset:
     """Image + boxes + binary-mask dataset producing fixed-shape samples."""
 
@@ -259,6 +298,38 @@ class MGADataset:
         self._cache: dict[int, tuple] = {}
         self._aug_dumped = 0
 
+        # image cache (reference base.py:131-143 `cache: ram|disk`):
+        # "ram"  — decode every image+mask once up front into memory,
+        # "disk" — persist the decoded image as a .npy sidecar (skips JPEG/PNG
+        #          decode on every epoch; survives across runs).
+        # Either mode is disabled with a warning when the resource check
+        # fails, matching the reference's check_cache_{ram,disk} behavior.
+        self.cache_mode = resolve_cache_mode(cfg.data.cache)
+        if self.cache_mode and len(self.img_files):
+            probe = cv2.imread(str(self.img_files[0]))
+            est = probe.nbytes if probe is not None else 8_000_000
+            n = len(self.img_files)
+            if self.cache_mode == "ram" and not check_cache_ram(est, n):
+                import logging
+
+                logging.getLogger("mga.data").warning(
+                    "cache='ram' needs ~%.1f GB for %d images but less is free; "
+                    "caching disabled (use cache='disk')", est * n * 1.1 / 2**30, n
+                )
+                self.cache_mode = None
+            elif self.cache_mode == "disk" and not check_cache_disk(
+                est, n, self.img_files[0].parent
+            ):
+                import logging
+
+                logging.getLogger("mga.data").warning(
+                    "cache='disk' needs ~%.1f GB free next to the images; "
+                    "caching disabled", est * n * 1.1 / 2**30
+                )
+                self.cache_mode = None
+        if self.cache_mode:
+            self._cache_images()
+
         # rectangular batching (reference `rect: True` val,
         # dataset.py set_rectangle): instead of the reference's per-batch
         # dynamic shapes, images are binned into a small STATIC set of
@@ -280,15 +351,52 @@ class MGADataset:
 
     # ---- raw sample loading ----
 
-    def load_raw(self, i: int) -> T.Sample:
-        if self.cfg.data.cache and i in self._cache:
-            img, cls, boxes, mask = self._cache[i]
-            return {"img": img.copy(), "cls": cls.copy(), "boxes": boxes.copy(),
-                    "mask": None if mask is None else mask.copy()}
+    def _npy_sidecar(self, i: int) -> Path:
+        # reference cache_images_to_disk: decoded image saved next to the
+        # original as <stem>.npy (base.py:199-203)
+        return self.img_files[i].with_suffix(".npy")
+
+    def _decode_image(self, i: int) -> np.ndarray:
         path = self.img_files[i]
+        if self.cache_mode == "disk":
+            npy = self._npy_sidecar(i)
+            if npy.exists():
+                try:
+                    return np.load(npy)
+                except (OSError, ValueError):
+                    npy.unlink(missing_ok=True)  # corrupt sidecar: re-decode
         img = cv2.imread(str(path))
         if img is None:
             raise FileNotFoundError(path)
+        return img
+
+    def _cache_images(self) -> None:
+        """Eagerly populate the cache (reference base.py cache_images)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(self.img_files)
+        workers = max(1, min(8, self.cfg.data.workers))
+        if self.cache_mode == "ram":
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(self.load_raw, range(n)))  # load_raw fills _cache
+        else:  # disk: write missing .npy sidecars once
+
+            def write(i: int) -> None:
+                npy = self._npy_sidecar(i)
+                if not npy.exists():
+                    img = cv2.imread(str(self.img_files[i]))
+                    if img is not None:
+                        np.save(str(npy), img)
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(write, range(n)))
+
+    def load_raw(self, i: int) -> T.Sample:
+        if self.cache_mode == "ram" and i in self._cache:
+            img, cls, boxes, mask = self._cache[i]
+            return {"img": img.copy(), "cls": cls.copy(), "boxes": boxes.copy(),
+                    "mask": None if mask is None else mask.copy()}
+        img = self._decode_image(i)
         h, w = img.shape[:2]
         cls, boxes = rows_to_labels(self._labels[i], w, h)
         if self.cfg.data.single_cls:
@@ -299,8 +407,10 @@ class MGADataset:
             mask = mask_ops.load_binary_mask(mp)
             if mask.shape[:2] != (h, w):
                 mask = cv2.resize(mask, (w, h), interpolation=cv2.INTER_NEAREST)
-        if self.cfg.data.cache:
+        if self.cache_mode == "ram":
             self._cache[i] = (img, cls, boxes, mask)
+            return {"img": img.copy(), "cls": cls.copy(), "boxes": boxes.copy(),
+                    "mask": None if mask is None else mask.copy()}
         return {"img": img, "cls": cls, "boxes": boxes, "mask": mask}
 
     # ---- augmentation pipeline ----
