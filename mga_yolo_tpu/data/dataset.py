@@ -296,6 +296,7 @@ class MGADataset:
         # on-disk label cache: all label txts parsed once per label-set hash
         self._labels = load_labels_cached(self.img_files, split)
         self._cache: dict[int, tuple] = {}
+        self._final_cache: dict[tuple, dict] = {}  # eval-mode processed samples
         self._aug_dumped = 0
 
         # image cache (reference base.py:131-143 `cache: ram|disk`):
@@ -466,6 +467,19 @@ class MGADataset:
             sample = self._train_sample(i, rng, use_mosaic, size)
             return self.finalize(sample, i, imgsz=size)
         shape = self.bucket_shapes[self.bucket[i]] if self.rect else (size, size)
+        # eval samples are deterministic per (i, shape): with cache="ram" the
+        # fully-processed sample (letterbox + GT pad + mask pyramid) is
+        # memoized, so per-epoch validation skips decode+resize entirely.
+        # Consumers never mutate samples (collate np.stack copies), so the
+        # cached arrays are shared, not copied.
+        if self.cache_mode == "ram":
+            key = (i, shape)
+            hit = self._final_cache.get(key)
+            if hit is None:
+                sample = T.letterbox(self.load_raw(i), shape, scaleup=False)
+                hit = self.finalize(sample, i, shape=shape)
+                self._final_cache[key] = hit
+            return dict(hit)
         sample = T.letterbox(self.load_raw(i), shape, scaleup=False)
         return self.finalize(sample, i, shape=shape)
 

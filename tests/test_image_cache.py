@@ -60,6 +60,20 @@ def test_ram_cache_matches_uncached(ds_root):
     assert ram.load_raw(0)["img"].any()
 
 
+def test_eval_final_sample_memo(ds_root):
+    plain = MGADataset(_cfg(ds_root, False), split="train", augment=False)
+    ram = MGADataset(_cfg(ds_root, True), split="train", augment=False)
+    a = plain.get(1)
+    b1 = ram.get(1)
+    assert (1, (64, 64)) in ram._final_cache
+    b2 = ram.get(1)
+    for k in ("image", "gt_boxes", "gt_labels", "mask_gt", "index"):
+        np.testing.assert_array_equal(a[k], b1[k])
+        np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]))
+    for m_a, m_b in zip(a["masks"], b1["masks"]):
+        np.testing.assert_array_equal(m_a, m_b)
+
+
 def test_disk_cache_sidecars(ds_root):
     plain = MGADataset(_cfg(ds_root, False), split="train", augment=False)
     disk = MGADataset(_cfg(ds_root, "disk"), split="train", augment=False)
