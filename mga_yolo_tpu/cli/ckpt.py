@@ -27,12 +27,44 @@ def main(argv=None) -> None:
     exp.add_argument("out", help="output .pt path")
     exp.add_argument("--model", default=None, help="model YAML override")
     exp.add_argument("--scale", default=None)
+    tfl = sub.add_parser(
+        "export-tflite",
+        help="direct jax -> .tflite export (decoded head + mask logits; "
+        "NMS host-side like the reference TFLite export)",
+    )
+    tfl.add_argument("path")
+    tfl.add_argument("--out", default=None, help="output .tflite path")
+    tfl.add_argument("--imgsz", type=int, default=None)
+    tfl.add_argument("--batch", type=int, default=1)
+    tfl.add_argument("--quantize", choices=["fp16", "dynamic"], default=None)
+    tfl.add_argument("--no-verify", action="store_true")
+    tfl.add_argument("--model", default=None, help="model YAML override")
+    tfl.add_argument("--scale", default=None)
     args = p.parse_args(argv)
 
     import jax
     import numpy as np
 
     from mga_yolo_tpu.utils.checkpoint import rebuild_from_checkpoint
+
+    if args.cmd == "export-tflite":
+        from mga_yolo_tpu.utils.tflite_export import export_tflite
+
+        info = export_tflite(
+            args.path, args.out, imgsz=args.imgsz, batch=args.batch,
+            model_yaml=args.model, scale=args.scale, quantize=args.quantize,
+            verify=not args.no_verify,
+        )
+        print(
+            f"[mga-ckpt] tflite -> {info['path']} ({info['bytes'] / 1e6:.2f} MB, "
+            f"imgsz {info['imgsz']}, quantize {info['quantize']})"
+        )
+        if info["max_abs_diff_decoded"] is not None:
+            print(
+                f"[mga-ckpt] verified vs jax forward: outputs {info['outputs']}, "
+                f"max |d| decoded = {info['max_abs_diff_decoded']:.2e}"
+            )
+        return
 
     model, variables, meta = rebuild_from_checkpoint(args.path, args.model, args.scale)
     if args.cmd == "export-torch":

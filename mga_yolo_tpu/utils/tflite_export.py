@@ -1,0 +1,112 @@
+"""TFLite export of the jax model (no torch round-trip).
+
+The reference ships deployment through the vendored Ultralytics exporter
+(`external/ultralytics/ultralytics/engine/exporter.py`: ONNX / TFLite /
+CoreML ...). This framework reaches that toolchain two ways:
+
+* ``mga-ckpt export-torch`` (utils/torch_export.py) — weights into the
+  reference's own MGAModel, from which its whole exporter family applies;
+* ``mga-ckpt export-tflite`` (this module) — a DIRECT jax → TFLite
+  flatbuffer via ``tf.lite.TFLiteConverter.experimental_from_jax``: the
+  eval forward (decoded detections + per-scale mask logits) becomes a
+  static-shape TFLite graph, optionally fp16- or dynamic-range-quantized.
+  NMS stays host-side, matching the reference's default TFLite export
+  (exporter.py exports the pre-NMS head unless ``nms=True``).
+
+TensorFlow is imported lazily so the dependency stays optional.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+def _eval_forward(model, variables):
+    """(images) -> (decoded, p3, p4, p5) eval-mode closure over numpy weights."""
+    # numpy-ify so the conversion never touches a (possibly remote) device
+    import jax
+
+    np_vars = jax.tree_util.tree_map(np.asarray, variables)
+
+    def fwd(images):
+        out = model.apply(np_vars, images, train=False)
+        decoded, _ = out["det"]
+        seg = out["seg"]
+        return (decoded,) + tuple(seg[k] for k in sorted(seg))
+
+    return fwd
+
+
+def export_tflite(
+    ckpt_path: str | Path,
+    out_path: Optional[str | Path] = None,
+    imgsz: Optional[int] = None,
+    batch: int = 1,
+    model_yaml: Optional[str] = None,
+    scale: Optional[str] = None,
+    quantize: Optional[str] = None,   # None | "fp16" | "dynamic"
+    verify: bool = True,
+) -> dict:
+    """Convert a checkpoint to a .tflite flatbuffer; returns an info dict.
+
+    ``verify=True`` runs the flatbuffer through the TFLite interpreter on a
+    random input and reports the max |Δ| of the decoded head vs the jax
+    forward (fp32 export is numerically tight; quantized exports are looser
+    by design).
+    """
+    import tensorflow as tf
+
+    from mga_yolo_tpu.utils.checkpoint import rebuild_from_checkpoint
+
+    # Pallas kernels do not lower through jax2tf — use the plain XLA path
+    model, variables, meta = rebuild_from_checkpoint(
+        ckpt_path, model_yaml, scale, use_pallas=False
+    )
+    size = int(imgsz or meta.get("imgsz", 640))
+    fwd = _eval_forward(model, variables)
+    example = np.zeros((batch, size, size, 3), np.float32)
+
+    converter = tf.lite.TFLiteConverter.experimental_from_jax(
+        [fwd], [[("images", example)]]
+    )
+    if quantize == "fp16":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.target_spec.supported_types = [tf.float16]
+    elif quantize == "dynamic":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+    elif quantize:
+        raise ValueError(f"unknown quantize mode {quantize!r} (fp16|dynamic)")
+    flatbuffer = converter.convert()
+
+    out = Path(out_path) if out_path else Path(str(ckpt_path)).with_suffix(".tflite")
+    out = out.absolute()
+    out.write_bytes(flatbuffer)
+    info = {
+        "path": str(out),
+        "bytes": len(flatbuffer),
+        "imgsz": size,
+        "batch": batch,
+        "quantize": quantize or "none",
+        "outputs": None,
+        "max_abs_diff_decoded": None,
+    }
+
+    if verify:
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 255, example.shape).astype(np.float32)
+        ref = fwd(x)
+        interp = tf.lite.Interpreter(model_content=flatbuffer)
+        interp.allocate_tensors()
+        (inp,) = interp.get_input_details()
+        interp.set_tensor(inp["index"], x)
+        interp.invoke()
+        outs = [interp.get_tensor(o["index"]) for o in interp.get_output_details()]
+        info["outputs"] = [tuple(o.shape) for o in outs]
+        # match the decoded head by shape (TFLite may reorder outputs)
+        ref_dec = np.asarray(ref[0])
+        dec = next(o for o in outs if o.shape == ref_dec.shape)
+        info["max_abs_diff_decoded"] = float(np.max(np.abs(dec - ref_dec)))
+    return info

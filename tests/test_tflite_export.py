@@ -1,0 +1,41 @@
+"""Direct jax -> TFLite export (utils/tflite_export.py).
+
+Converts a mini-graph checkpoint to a .tflite flatbuffer and checks the
+interpreter reproduces the jax eval forward (decoded head) to fp32
+tolerance — the deployment artifact the reference produces through its
+Ultralytics exporter (engine/exporter.py TFLite path), here without any
+torch round-trip.
+"""
+
+import numpy as np
+import pytest
+import yaml
+
+tf = pytest.importorskip("tensorflow")
+
+import jax
+
+from mga_yolo_tpu.models.yolo import create_model
+from mga_yolo_tpu.train.state import create_train_state
+from mga_yolo_tpu.utils.checkpoint import save_checkpoint
+from mga_yolo_tpu.utils.tflite_export import export_tflite
+from tests.test_remat import MINI_CFG
+
+
+def test_export_tflite_roundtrip(tmp_path):
+    model, spec = create_model(dict(MINI_CFG), scale="n", nc=1, use_pallas=False)
+    state = create_train_state(model, jax.random.PRNGKey(0), imgsz=64)
+    ckpt = tmp_path / "mini_ckpt"
+    save_checkpoint(ckpt, state, {
+        "model_yaml": str(tmp_path / "missing.yaml"),  # exercise the embedded-text fallback
+        "model_yaml_text": yaml.safe_dump(MINI_CFG),
+        "model_scale": "n", "nc": 1, "imgsz": 64, "optimizer": "sgd",
+    })
+
+    info = export_tflite(ckpt, tmp_path / "mini.tflite", imgsz=64, verify=True)
+    assert (tmp_path / "mini.tflite").exists()
+    assert info["bytes"] > 1000
+    # decoded head (1, 4+nc, A) reproduced by the interpreter
+    assert info["max_abs_diff_decoded"] < 1e-3
+    # decoded + one mask logit map per scale
+    assert len(info["outputs"]) == 1 + len(spec.mask_head_indices)
