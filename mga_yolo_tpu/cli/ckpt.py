@@ -40,12 +40,39 @@ def main(argv=None) -> None:
     tfl.add_argument("--no-verify", action="store_true")
     tfl.add_argument("--model", default=None, help="model YAML override")
     tfl.add_argument("--scale", default=None)
+    svm = sub.add_parser(
+        "export-savedmodel",
+        help="TF SavedModel export of the eval forward (TF-Serving; "
+        "StableHLO under XlaCallModule keeps XLA performance)",
+    )
+    svm.add_argument("path")
+    svm.add_argument("out", help="output SavedModel directory")
+    svm.add_argument("--imgsz", type=int, default=None)
+    svm.add_argument("--batch", type=int, default=1)
+    svm.add_argument("--no-verify", action="store_true")
+    svm.add_argument("--model", default=None, help="model YAML override")
+    svm.add_argument("--scale", default=None)
     args = p.parse_args(argv)
 
     import jax
     import numpy as np
 
     from mga_yolo_tpu.utils.checkpoint import rebuild_from_checkpoint
+
+    if args.cmd == "export-savedmodel":
+        from mga_yolo_tpu.utils.tflite_export import export_saved_model
+
+        info = export_saved_model(
+            args.path, args.out, imgsz=args.imgsz, batch=args.batch,
+            model_yaml=args.model, scale=args.scale, verify=not args.no_verify,
+        )
+        print(f"[mga-ckpt] SavedModel -> {info['path']} (imgsz {info['imgsz']})")
+        if info["max_abs_diff_decoded"] is not None:
+            print(
+                f"[mga-ckpt] verified vs jax forward: outputs {info['outputs']}, "
+                f"max |d| decoded = {info['max_abs_diff_decoded']:.2e}"
+            )
+        return
 
     if args.cmd == "export-tflite":
         from mga_yolo_tpu.utils.tflite_export import export_tflite

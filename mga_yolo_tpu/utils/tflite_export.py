@@ -110,3 +110,51 @@ def export_tflite(
         dec = next(o for o in outs if o.shape == ref_dec.shape)
         info["max_abs_diff_decoded"] = float(np.max(np.abs(dec - ref_dec)))
     return info
+
+
+def export_saved_model(
+    ckpt_path: str | Path,
+    out_dir: str | Path,
+    imgsz: Optional[int] = None,
+    batch: int = 1,
+    model_yaml: Optional[str] = None,
+    scale: Optional[str] = None,
+    verify: bool = True,
+) -> dict:
+    """Export the eval forward as a TF SavedModel (TF-Serving deployable).
+
+    jax2tf native serialization: the jitted StableHLO runs under TF's
+    XlaCallModule, so serving keeps XLA performance. Signature: ``f(images
+    (B,S,S,3) float32) -> (decoded, p3, p4, p5)``.
+    """
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    from mga_yolo_tpu.utils.checkpoint import rebuild_from_checkpoint
+
+    model, variables, meta = rebuild_from_checkpoint(
+        ckpt_path, model_yaml, scale, use_pallas=False
+    )
+    size = int(imgsz or meta.get("imgsz", 640))
+    fwd = _eval_forward(model, variables)
+    module = tf.Module()
+    module.f = tf.function(
+        jax2tf.convert(fwd, with_gradient=False),
+        autograph=False,
+        input_signature=[tf.TensorSpec((batch, size, size, 3), tf.float32)],
+    )
+    out_dir = Path(out_dir).absolute()
+    tf.saved_model.save(module, str(out_dir))
+    info = {"path": str(out_dir), "imgsz": size, "batch": batch,
+            "outputs": None, "max_abs_diff_decoded": None}
+    if verify:
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 255, (batch, size, size, 3)).astype(np.float32)
+        loaded = tf.saved_model.load(str(out_dir))
+        got = loaded.f(tf.constant(x))
+        ref = fwd(x)
+        info["outputs"] = [tuple(g.shape) for g in got]
+        info["max_abs_diff_decoded"] = float(
+            np.max(np.abs(got[0].numpy() - np.asarray(ref[0])))
+        )
+    return info

@@ -39,3 +39,10 @@ def test_export_tflite_roundtrip(tmp_path):
     assert info["max_abs_diff_decoded"] < 1e-3
     # decoded + one mask logit map per scale
     assert len(info["outputs"]) == 1 + len(spec.mask_head_indices)
+
+    from mga_yolo_tpu.utils.tflite_export import export_saved_model
+
+    sm = export_saved_model(ckpt, tmp_path / "sm", imgsz=64, verify=True)
+    assert (tmp_path / "sm" / "saved_model.pb").exists()
+    assert sm["max_abs_diff_decoded"] < 1e-3
+    assert len(sm["outputs"]) == 1 + len(spec.mask_head_indices)
