@@ -36,7 +36,9 @@ def main(argv=None) -> None:
     tfl.add_argument("--out", default=None, help="output .tflite path")
     tfl.add_argument("--imgsz", type=int, default=None)
     tfl.add_argument("--batch", type=int, default=1)
-    tfl.add_argument("--quantize", choices=["fp16", "dynamic"], default=None)
+    tfl.add_argument("--quantize", choices=["fp16", "dynamic", "int8"], default=None)
+    tfl.add_argument("--calib", default=None,
+                     help="int8 calibration images (directory), e.g. the val set")
     tfl.add_argument("--no-verify", action="store_true")
     tfl.add_argument("--model", default=None, help="model YAML override")
     tfl.add_argument("--scale", default=None)
@@ -80,7 +82,7 @@ def main(argv=None) -> None:
         info = export_tflite(
             args.path, args.out, imgsz=args.imgsz, batch=args.batch,
             model_yaml=args.model, scale=args.scale, quantize=args.quantize,
-            verify=not args.no_verify,
+            verify=not args.no_verify, representative=args.calib,
         )
         print(
             f"[mga-ckpt] tflite -> {info['path']} ({info['bytes'] / 1e6:.2f} MB, "

@@ -40,6 +40,53 @@ def _eval_forward(model, variables):
     return fwd
 
 
+def _representative_gen(source, batch: int, size: int, n_max: int = 32):
+    """Calibration-batch generator for int8 export.
+
+    ``source``: a directory of images, a list of image paths, or None
+    (falls back to uniform-noise batches — functional but weak calibration;
+    pass real images for deployment-grade scales).
+    """
+    import cv2
+
+    paths = []
+    if source is not None:
+        p = Path(source) if isinstance(source, (str, Path)) else None
+        if p is not None and p.is_dir():
+            exts = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
+            paths = sorted(q for q in p.rglob("*") if q.suffix.lower() in exts)
+        elif isinstance(source, (list, tuple)):
+            paths = [Path(q) for q in source]
+    paths = paths[:n_max]
+
+    def gen():
+        if not paths:
+            rng = np.random.default_rng(0)
+            for _ in range(8):
+                yield [rng.uniform(0, 255, (batch, size, size, 3)).astype(np.float32)]
+            return
+        from mga_yolo_tpu.data.transforms import letterbox
+
+        buf = []
+        for q in paths:
+            img = cv2.imread(str(q))
+            if img is None:
+                continue
+            s = letterbox({"img": img, "cls": np.zeros((0,)),
+                           "boxes": np.zeros((0, 4)), "mask": None},
+                          (size, size), scaleup=False)
+            buf.append(s["img"].astype(np.float32))
+            if len(buf) == batch:
+                yield [np.stack(buf)]
+                buf = []
+        if buf:  # pad the tail to the static batch
+            while len(buf) < batch:
+                buf.append(buf[-1])
+            yield [np.stack(buf)]
+
+    return gen
+
+
 def export_tflite(
     ckpt_path: str | Path,
     out_path: Optional[str | Path] = None,
@@ -47,8 +94,9 @@ def export_tflite(
     batch: int = 1,
     model_yaml: Optional[str] = None,
     scale: Optional[str] = None,
-    quantize: Optional[str] = None,   # None | "fp16" | "dynamic"
+    quantize: Optional[str] = None,   # None | "fp16" | "dynamic" | "int8"
     verify: bool = True,
+    representative: Optional[object] = None,  # int8: image dir/list for calibration
 ) -> dict:
     """Convert a checkpoint to a .tflite flatbuffer; returns an info dict.
 
@@ -77,8 +125,16 @@ def export_tflite(
         converter.target_spec.supported_types = [tf.float16]
     elif quantize == "dynamic":
         converter.optimizations = [tf.lite.Optimize.DEFAULT]
+    elif quantize == "int8":
+        # static-range int8 with float32 I/O and float fallback for ops
+        # without int8 kernels (the reference exporter's default int8 mode,
+        # exporter.py TFLite: representative data from the val set)
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.representative_dataset = _representative_gen(
+            representative, batch, size
+        )
     elif quantize:
-        raise ValueError(f"unknown quantize mode {quantize!r} (fp16|dynamic)")
+        raise ValueError(f"unknown quantize mode {quantize!r} (fp16|dynamic|int8)")
     flatbuffer = converter.convert()
 
     out = Path(out_path) if out_path else Path(str(ckpt_path)).with_suffix(".tflite")
