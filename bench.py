@@ -68,7 +68,47 @@ def measure(f1, f2, v, x, batch: int) -> float:
     return batch / per_forward
 
 
+def _fail(msg: str) -> None:
+    print(json.dumps({
+        "metric": "YOLOv8n-MGA images/sec/chip at 640px",
+        "value": 0.0, "unit": "img/s", "vs_baseline": 0.0, "error": msg,
+    }), flush=True)
+    os._exit(1)
+
+
+def _require_devices(timeout_s: float = 600.0):
+    """Fail fast with an explicit JSON error when the TPU tunnel is down.
+
+    Device init over a dead axon tunnel blocks indefinitely; a hung bench
+    would stall the whole driver. The probe runs in a daemon thread so the
+    process can still exit if it never returns."""
+    import threading
+
+    out: dict = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report any backend failure
+            out["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        _fail(out.get("error", f"device init exceeded {timeout_s:.0f}s (tunnel down?)"))
+    return out["devices"]
+
+
 def main() -> None:
+    _require_devices()
+    # hard ceiling on total runtime: emit an explicit error instead of a hang
+    import threading
+
+    watchdog = threading.Timer(2700.0, _fail, args=("bench exceeded 45 min",))
+    watchdog.daemon = True
+    watchdog.start()
+
     from mga_yolo_tpu.models.yolo import create_model
     from mga_yolo_tpu.train import state as S
 
