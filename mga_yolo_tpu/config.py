@@ -172,14 +172,26 @@ _TRAIN_KEYS = {f.name for f in dataclasses.fields(TrainConfig)}
 _DATA_KEYS = {f.name for f in dataclasses.fields(DataConfig)}
 
 
+def resolve_cache_mode(value) -> Optional[str]:
+    """Normalize the ``cache`` config value to None / "ram" / "disk".
+
+    Mirrors the reference surface (`external/ultralytics/.../data/base.py:131-134`:
+    ``cache = True | False | None | "ram" | "disk"``; True means "ram").
+    """
+    if isinstance(value, str):
+        low = value.lower()
+        if low == "disk":
+            return "disk"
+        if low in {"ram", "1", "true", "yes", "on"}:
+            return "ram"
+        return None
+    return "ram" if value else None
+
+
 def _coerce(value: Any, target: Any) -> Any:
     """Best-effort coercion of YAML values to the dataclass field's type."""
     if isinstance(target, bool):
         if isinstance(value, str):
-            # `cache: ram|disk` (reference cfg surface, default.yaml `cache`)
-            # must survive coercion into the bool-defaulted field
-            if value.lower() in {"ram", "disk"}:
-                return value.lower()
             return value.lower() in {"1", "true", "yes", "on"}
         return bool(value)
     if isinstance(target, tuple) and isinstance(value, (list, tuple)):
@@ -212,6 +224,12 @@ def load_config(cfg: str | Path | dict | None = None, **overrides) -> MGAConfig:
 
     out = MGAConfig()
     for key, value in raw.items():
+        if key == "cache":
+            # `cache: ram|disk|true|false` (reference default.yaml surface) —
+            # normalized here rather than in _coerce so the string modes
+            # don't leak into every other bool-defaulted field
+            out.data.cache = resolve_cache_mode(value) or False
+            continue
         if key in _MGA_KEY_MAP:
             section, field = _MGA_KEY_MAP[key]
             obj = getattr(out, section)

@@ -29,7 +29,7 @@ import cv2
 import numpy as np
 import yaml
 
-from mga_yolo_tpu.config import MGAConfig
+from mga_yolo_tpu.config import MGAConfig, resolve_cache_mode
 from mga_yolo_tpu.data import mask_ops, transforms as T
 
 IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
@@ -231,22 +231,6 @@ def load_labels_cached(img_files: list[Path], split: str) -> list[np.ndarray]:
     return labels
 
 
-def resolve_cache_mode(value) -> Optional[str]:
-    """Normalize the ``cache`` config value to None / "ram" / "disk".
-
-    Mirrors the reference surface (`external/ultralytics/.../data/base.py:131-134`:
-    ``cache = True | False | None | "ram" | "disk"``; True means "ram").
-    """
-    if isinstance(value, str):
-        low = value.lower()
-        if low == "disk":
-            return "disk"
-        if low in {"ram", "1", "true", "yes", "on"}:
-            return "ram"
-        return None
-    return "ram" if value else None
-
-
 def check_cache_ram(sample_bytes: int, n: int, safety: float = 1.1) -> bool:
     """True when ``n`` decoded images (est. ``sample_bytes`` each) fit in
     available RAM with a safety margin (reference base.py check_cache_ram)."""
@@ -310,24 +294,36 @@ class MGADataset:
             probe = cv2.imread(str(self.img_files[0]))
             est = probe.nbytes if probe is not None else 8_000_000
             n = len(self.img_files)
-            if self.cache_mode == "ram" and not check_cache_ram(est, n):
-                import logging
+            if self.cache_mode == "ram":
+                # eval datasets additionally memoize the processed sample
+                # (letterboxed image + mask pyramid), roughly doubling the
+                # per-image footprint — budget for it up front
+                est_ram = est * (1 if augment else 2)
+                if not check_cache_ram(est_ram, n):
+                    import logging
 
-                logging.getLogger("mga.data").warning(
-                    "cache='ram' needs ~%.1f GB for %d images but less is free; "
-                    "caching disabled (use cache='disk')", est * n * 1.1 / 2**30, n
+                    logging.getLogger("mga.data").warning(
+                        "cache='ram' needs ~%.1f GB for %d images but less is "
+                        "free; caching disabled (use cache='disk')",
+                        est_ram * n * 1.1 / 2**30, n,
+                    )
+                    self.cache_mode = None
+            elif self.cache_mode == "disk":
+                # only the sidecars that don't exist yet need free space —
+                # a warm restart over a fully-built cache must not disable it
+                missing = sum(
+                    1 for i in range(n) if not self._npy_sidecar(i).exists()
                 )
-                self.cache_mode = None
-            elif self.cache_mode == "disk" and not check_cache_disk(
-                est, n, self.img_files[0].parent
-            ):
-                import logging
+                if missing and not check_cache_disk(
+                    est, missing, self.img_files[0].parent
+                ):
+                    import logging
 
-                logging.getLogger("mga.data").warning(
-                    "cache='disk' needs ~%.1f GB free next to the images; "
-                    "caching disabled", est * n * 1.1 / 2**30
-                )
-                self.cache_mode = None
+                    logging.getLogger("mga.data").warning(
+                        "cache='disk' needs ~%.1f GB free next to the images; "
+                        "caching disabled", est * missing * 1.1 / 2**30
+                    )
+                    self.cache_mode = None
         if self.cache_mode:
             self._cache_images()
 
@@ -353,9 +349,12 @@ class MGADataset:
     # ---- raw sample loading ----
 
     def _npy_sidecar(self, i: int) -> Path:
-        # reference cache_images_to_disk: decoded image saved next to the
-        # original as <stem>.npy (base.py:199-203)
-        return self.img_files[i].with_suffix(".npy")
+        # decoded image saved next to the original (reference
+        # cache_images_to_disk, base.py:199-203). The reference uses
+        # <stem>.npy, which collides when a.jpg and a.png coexist — we keep
+        # the full name (<name>.<ext>.npy) so each file gets its own sidecar.
+        p = self.img_files[i]
+        return p.with_name(p.name + ".npy")
 
     def _decode_image(self, i: int) -> np.ndarray:
         path = self.img_files[i]
@@ -379,7 +378,10 @@ class MGADataset:
         workers = max(1, min(8, self.cfg.data.workers))
         if self.cache_mode == "ram":
             with ThreadPoolExecutor(max_workers=workers) as pool:
-                list(pool.map(self.load_raw, range(n)))  # load_raw fills _cache
+                # drain without accumulating: keeping the returned copies
+                # would transiently double the RAM the check budgeted
+                for _ in pool.map(self.load_raw, range(n)):
+                    pass
         else:  # disk: write missing .npy sidecars once
 
             def write(i: int) -> None:

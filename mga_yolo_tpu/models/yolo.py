@@ -316,8 +316,11 @@ def resolve_remat(mode: bool | str | int | None, *, training: bool) -> bool:
     shrinks live activation memory (larger per-chip batches, e.g. b256 @640
     OOMs without it) and trades recompute FLOPs for HBM bandwidth, which can
     win when the backward is bandwidth-bound. Remat is meaningless outside
-    training (no backward), so inference always resolves False unless forced.
+    training (no backward), so ``training=False`` always resolves False;
+    unrecognized strings raise instead of silently disabling.
     """
+    if not training:
+        return False  # no backward pass -> nothing to checkpoint
     if isinstance(mode, bool):
         return mode
     if isinstance(mode, int):
@@ -328,6 +331,8 @@ def resolve_remat(mode: bool | str | int | None, *, training: bool) -> bool:
             return True
         if low in {"0", "false", "no", "off"}:
             return False
+        if low != "auto":
+            raise ValueError(f"remat: expected true/false/auto, got {mode!r}")
     return False
 
 

@@ -25,14 +25,21 @@ import numpy as np
 
 
 def _eval_forward(model, variables):
-    """(images) -> (decoded, p3, p4, p5) eval-mode closure over numpy weights."""
+    """(images) -> (decoded, p3, p4, p5) eval-mode closure over numpy weights.
+
+    Input contract: **0-255 float32 BGR, letterboxed** — the /255
+    normalization the training/predict paths apply on device
+    (`train/state.py normalize_images`) is embedded in the exported graph,
+    so deployment feeds raw pixel values (and int8 calibration sees the
+    same domain the graph quantizes over).
+    """
     # numpy-ify so the conversion never touches a (possibly remote) device
     import jax
 
     np_vars = jax.tree_util.tree_map(np.asarray, variables)
 
     def fwd(images):
-        out = model.apply(np_vars, images, train=False)
+        out = model.apply(np_vars, images / 255.0, train=False)
         decoded, _ = out["det"]
         seg = out["seg"]
         return (decoded,) + tuple(seg[k] for k in sorted(seg))
@@ -43,20 +50,30 @@ def _eval_forward(model, variables):
 def _representative_gen(source, batch: int, size: int, n_max: int = 32):
     """Calibration-batch generator for int8 export.
 
-    ``source``: a directory of images, a list of image paths, or None
-    (falls back to uniform-noise batches — functional but weak calibration;
-    pass real images for deployment-grade scales).
+    ``source``: a directory of images, a single image path, a list of image
+    paths, or None (falls back to uniform-noise batches — functional but
+    weak calibration; pass real images for deployment-grade scales). A
+    source that yields no readable images is an error, not a silent noise
+    fallback.
     """
     import cv2
 
+    from mga_yolo_tpu.data.dataset import IMG_EXTS
+
     paths = []
     if source is not None:
-        p = Path(source) if isinstance(source, (str, Path)) else None
-        if p is not None and p.is_dir():
-            exts = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
-            paths = sorted(q for q in p.rglob("*") if q.suffix.lower() in exts)
-        elif isinstance(source, (list, tuple)):
+        if isinstance(source, (list, tuple)):
             paths = [Path(q) for q in source]
+        else:
+            p = Path(source)
+            if p.is_dir():
+                paths = sorted(q for q in p.rglob("*") if q.suffix.lower() in IMG_EXTS)
+            elif p.is_file():
+                paths = [p]
+            else:
+                raise ValueError(f"int8 calibration source not found: {source}")
+        if not paths:
+            raise ValueError(f"no images under calibration source: {source}")
     paths = paths[:n_max]
 
     def gen():

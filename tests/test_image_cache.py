@@ -39,9 +39,15 @@ def test_resolve_cache_mode():
 
 
 def test_cache_yaml_coercion(ds_root):
+    # load_config normalizes via resolve_cache_mode (True -> "ram") so the
+    # string modes never pass through the generic bool coercion
     assert _cfg(ds_root, "disk").data.cache == "disk"
-    assert _cfg(ds_root, True).data.cache is True
+    assert _cfg(ds_root, True).data.cache == "ram"
     assert _cfg(ds_root, "false").data.cache is False
+    # the cache special case must not leak into other bool fields
+    from mga_yolo_tpu.config import load_config
+
+    assert load_config({"rect": "disk"}).data.rect is False
 
 
 def test_ram_cache_matches_uncached(ds_root):

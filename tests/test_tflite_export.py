@@ -46,3 +46,17 @@ def test_export_tflite_roundtrip(tmp_path):
     assert (tmp_path / "sm" / "saved_model.pb").exists()
     assert sm["max_abs_diff_decoded"] < 1e-3
     assert len(sm["outputs"]) == 1 + len(spec.mask_head_indices)
+
+
+def test_representative_gen_validates_source(tmp_path):
+    from mga_yolo_tpu.utils.tflite_export import _representative_gen
+
+    with pytest.raises(ValueError, match="not found"):
+        _representative_gen(tmp_path / "nope", 1, 64)
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(ValueError, match="no images"):
+        _representative_gen(tmp_path / "empty", 1, 64)
+    # None -> noise fallback generator, no error
+    gen = _representative_gen(None, 2, 64)
+    (first,) = next(gen())
+    assert first.shape == (2, 64, 64, 3)

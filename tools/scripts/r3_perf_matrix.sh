@@ -32,8 +32,9 @@ run train_b128_base  2400 MGA_BENCH_BATCH=128 -- python tools/scripts/bench_trai
 run train_b128_remat 2400 MGA_BENCH_BATCH=128 MGA_BENCH_REMAT=1 -- python tools/scripts/bench_train.py
 run train_b256_remat 2400 MGA_BENCH_BATCH=256 MGA_BENCH_REMAT=1 -- python tools/scripts/bench_train.py
 
-# shipped-default inference headline
-run bench_default 2400 -- python bench.py
+# shipped-default inference headline (outer timeout > bench.py's own
+# 2700 s watchdog so the explicit JSON error can fire before SIGTERM)
+run bench_default 3000 -- python bench.py
 
 echo "results in $OUT" >&2
 cat "$OUT"
