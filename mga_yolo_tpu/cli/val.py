@@ -18,7 +18,8 @@ from pathlib import Path
 def main(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     p = argparse.ArgumentParser("mga-val")
-    p.add_argument("--weights", required=True, help="checkpoint dir (weights/best)")
+    p.add_argument("--weights", required=True,
+                   help="checkpoint dir (weights/best) or an exported .tflite")
     p.add_argument("--data", required=True, help="data YAML")
     p.add_argument("--imgsz", type=int, default=None)
     p.add_argument("--batch", type=int, default=16)
@@ -52,9 +53,26 @@ def main(argv=None) -> None:
     from mga_yolo_tpu.utils.files import increment_path
 
     enable_compile_cache()
-    model, variables, meta = rebuild_from_checkpoint(args.weights, use_pallas=args.use_pallas)
-    imgsz = args.imgsz or int(meta.get("imgsz", 640))
-    nc = int(meta.get("nc", 1))
+    is_tflite = str(args.weights).endswith(".tflite")
+    if is_tflite:
+        # validate an exported deployment artifact (reference `model.val()`
+        # on exported formats, engine/exporter.py): the flatbuffer runs on
+        # host via the TFLite interpreter, NMS + metrics are shared with the
+        # checkpoint path, so the printed mAP is the deployed model's mAP.
+        import tensorflow as tf
+
+        interp = tf.lite.Interpreter(model_path=str(args.weights))
+        inp0 = interp.get_input_details()[0]
+        imgsz = args.imgsz or int(inp0["shape"][1])
+        out3 = [o for o in interp.get_output_details() if len(o["shape"]) == 3][0]
+        nc = int(out3["shape"][-1]) - 4
+        variables = None
+    else:
+        model, variables, meta = rebuild_from_checkpoint(
+            args.weights, use_pallas=args.use_pallas
+        )
+        imgsz = args.imgsz or int(meta.get("imgsz", 640))
+        nc = int(meta.get("nc", 1))
     cfg = load_config(
         {"data": args.data, "imgsz": imgsz, "batch": args.batch, "rect": args.rect}
     )
@@ -62,15 +80,35 @@ def main(argv=None) -> None:
     dl = DataLoader(ds, batch_size=min(args.batch, len(ds)), shuffle=False, drop_last=False)
 
     @jax.jit
-    def eval_fn(v, batch):
-        out = model.apply(v, batch["image"].astype(jnp.float32) / 255.0, train=False)
-        decoded = out["det"][0].astype(jnp.float32)
+    def nms_fn(decoded):
         boxes, scores, cls = nms_jax(
             decoded, conf_thres=args.conf, iou_thres=args.iou,
             max_det=args.max_det, multi_label=nc > 1,
         )
-        dets = jnp.concatenate([boxes, scores[..., None], cls[..., None]], axis=-1)
-        return {"decoded": decoded, "dets": dets, "items": jnp.zeros((10,), jnp.float32)}
+        return jnp.concatenate([boxes, scores[..., None], cls[..., None]], axis=-1)
+
+    if is_tflite:
+        state = {"shape": None}
+
+        def eval_fn(v, batch):
+            x = np.asarray(batch["image"], np.float32)  # 0-255: /255 is embedded
+            if state["shape"] != x.shape:  # tail batches resize the interpreter
+                interp.resize_tensor_input(inp0["index"], list(x.shape))
+                interp.allocate_tensors()
+                state["shape"] = x.shape
+            interp.set_tensor(inp0["index"], x)
+            interp.invoke()
+            decoded = jnp.asarray(interp.get_tensor(out3["index"]))
+            return {"decoded": decoded, "dets": nms_fn(decoded),
+                    "items": jnp.zeros((10,), jnp.float32)}
+    else:
+
+        @jax.jit
+        def eval_fn(v, batch):
+            out = model.apply(v, batch["image"].astype(jnp.float32) / 255.0, train=False)
+            decoded = out["det"][0].astype(jnp.float32)
+            return {"decoded": decoded, "dets": nms_fn(decoded),
+                    "items": jnp.zeros((10,), jnp.float32)}
 
     validator = Validator(eval_fn, dl, cfg, conf_thres=args.conf,
                           iou_thres=args.iou, max_det=args.max_det)

@@ -119,3 +119,26 @@ def test_val_cli_plots_json(trained_run, tmp_path):
     assert isinstance(preds, list)
     if preds:  # entries follow the COCO result schema
         assert {"image_id", "category_id", "bbox", "score"} <= set(preds[0])
+
+
+def test_tflite_export_and_val_cli(trained_run, tmp_path):
+    """Deployment-artifact validation: export .tflite, then run mga-val on
+    the flatbuffer itself (interpreter inference + shared NMS/metrics)."""
+    data_yaml, run_dir = trained_run
+    tfl = tmp_path / "best.tflite"
+    proc = subprocess.run(
+        [sys.executable, "-m", "mga_yolo_tpu.cli.ckpt", "export-tflite",
+         str(run_dir / "weights" / "best"), "--imgsz", "64", "--out", str(tfl)],
+        capture_output=True, text=True, timeout=900, env=CPU_ENV,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert tfl.exists() and "verified vs jax forward" in proc.stdout
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "mga_yolo_tpu.cli.val", "--weights", str(tfl),
+         "--data", str(data_yaml), "--batch", "2"],
+        capture_output=True, text=True, timeout=900, env=CPU_ENV,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    out = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert "metrics/mAP50(B)" in out
