@@ -61,7 +61,9 @@ def main(argv=None) -> None:
         # checkpoint path, so the printed mAP is the deployed model's mAP.
         import tensorflow as tf
 
-        interp = tf.lite.Interpreter(model_path=str(args.weights))
+        from mga_yolo_tpu.utils.tflite_export import make_interpreter
+
+        interp = make_interpreter(model_path=str(args.weights))
         inp0 = interp.get_input_details()[0]
         imgsz = args.imgsz or int(inp0["shape"][1])
         out3 = [o for o in interp.get_output_details() if len(o["shape"]) == 3][0]
@@ -88,17 +90,24 @@ def main(argv=None) -> None:
         return jnp.concatenate([boxes, scores[..., None], cls[..., None]], axis=-1)
 
     if is_tflite:
-        state = {"shape": None}
+        # the flatbuffer's batch is BAKED (reshapes lower with constant
+        # shapes; resize_tensor_input silently yields batch-1 outputs and
+        # polymorphic-batch export hits TFLite's missing dynamic_gather), so
+        # run the interpreter at its exported batch and chunk/pad host-side
+        fixed_b = int(inp0["shape"][0])
 
         def eval_fn(v, batch):
             x = np.asarray(batch["image"], np.float32)  # 0-255: /255 is embedded
-            if state["shape"] != x.shape:  # tail batches resize the interpreter
-                interp.resize_tensor_input(inp0["index"], list(x.shape))
-                interp.allocate_tensors()
-                state["shape"] = x.shape
-            interp.set_tensor(inp0["index"], x)
-            interp.invoke()
-            decoded = jnp.asarray(interp.get_tensor(out3["index"]))
+            outs = []
+            for i in range(0, x.shape[0], fixed_b):
+                chunk = x[i : i + fixed_b]
+                pad = fixed_b - chunk.shape[0]
+                if pad:
+                    chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+                interp.set_tensor(inp0["index"], chunk)
+                interp.invoke()
+                outs.append(interp.get_tensor(out3["index"])[: fixed_b - pad or None])
+            decoded = jnp.asarray(np.concatenate(outs))
             return {"decoded": decoded, "dets": nms_fn(decoded),
                     "items": jnp.zeros((10,), jnp.float32)}
     else:

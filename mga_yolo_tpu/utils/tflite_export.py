@@ -24,6 +24,30 @@ from typing import Optional
 import numpy as np
 
 
+def make_interpreter(model_path: Optional[str] = None,
+                     model_content: Optional[bytes] = None):
+    """TFLite interpreter with allocated tensors, falling back to the
+    no-default-delegate resolver when XNNPACK refuses a node (observed on
+    int8 static-range graphs: "Node ... (TfLiteXNNPackDelegate) failed to
+    prepare")."""
+    import tensorflow as tf
+
+    kw = {"model_path": model_path} if model_path else {"model_content": model_content}
+    interp = tf.lite.Interpreter(**kw)
+    try:
+        interp.allocate_tensors()
+        return interp
+    except RuntimeError:
+        interp = tf.lite.Interpreter(
+            **kw,
+            experimental_op_resolver_type=(
+                tf.lite.experimental.OpResolverType.BUILTIN_WITHOUT_DEFAULT_DELEGATES
+            ),
+        )
+        interp.allocate_tensors()
+        return interp
+
+
 def _eval_forward(model, variables):
     """(images) -> (decoded, p3, p4, p5) eval-mode closure over numpy weights.
 
@@ -39,7 +63,8 @@ def _eval_forward(model, variables):
     np_vars = jax.tree_util.tree_map(np.asarray, variables)
 
     def fwd(images):
-        out = model.apply(np_vars, images / 255.0, train=False)
+        # MUL rather than DIV: quantized DIV nodes trap on zero denominators
+        out = model.apply(np_vars, images * (1.0 / 255.0), train=False)
         decoded, _ = out["det"]
         seg = out["seg"]
         return (decoded,) + tuple(seg[k] for k in sorted(seg))
@@ -143,16 +168,36 @@ def export_tflite(
     elif quantize == "dynamic":
         converter.optimizations = [tf.lite.Optimize.DEFAULT]
     elif quantize == "int8":
-        # static-range int8 with float32 I/O and float fallback for ops
-        # without int8 kernels (the reference exporter's default int8 mode,
-        # exporter.py TFLite: representative data from the val set)
-        converter.optimizations = [tf.lite.Optimize.DEFAULT]
-        converter.representative_dataset = _representative_gen(
-            representative, batch, size
+        # EXPERIMENTAL static-range int8. Two measured caveats on MGA
+        # graphs (BASELINE.md export table): (a) quantized DIV traps on the
+        # masked-pool eps denominator, so DIV is denylisted to float via the
+        # QuantizationDebugger; (b) the decoded head concatenates box pixels
+        # (0..imgsz) with confidences (0..1) under one per-tensor scale,
+        # which crushes confidence resolution — measured mAP50 0.0 on a
+        # demo model whose fp16/dynamic exports match fp32 exactly. Prefer
+        # --quantize dynamic (weights-only: smallest artifact, exact mAP);
+        # always check the artifact with `mga-val --weights model.tflite`.
+        import logging
+
+        logging.getLogger("mga.export").warning(
+            "int8 static-range is experimental for MGA graphs: the shared "
+            "decode scale crushes confidences (measured mAP50 ~0). Use "
+            "--quantize dynamic, and validate with mga-val on the .tflite."
         )
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        rep = _representative_gen(representative, batch, size)
+        converter.representative_dataset = rep
+        dbg = tf.lite.experimental.QuantizationDebugger(
+            converter=converter, debug_dataset=rep,
+            debug_options=tf.lite.experimental.QuantizationDebugOptions(
+                denylisted_ops=["DIV"]
+            ),
+        )
+        flatbuffer = dbg.get_nondebug_quantized_model()
     elif quantize:
         raise ValueError(f"unknown quantize mode {quantize!r} (fp16|dynamic|int8)")
-    flatbuffer = converter.convert()
+    if quantize != "int8":
+        flatbuffer = converter.convert()
 
     out = Path(out_path) if out_path else Path(str(ckpt_path)).with_suffix(".tflite")
     out = out.absolute()
@@ -171,8 +216,7 @@ def export_tflite(
         rng = np.random.default_rng(0)
         x = rng.uniform(0, 255, example.shape).astype(np.float32)
         ref = fwd(x)
-        interp = tf.lite.Interpreter(model_content=flatbuffer)
-        interp.allocate_tensors()
+        interp = make_interpreter(model_content=flatbuffer)
         (inp,) = interp.get_input_details()
         interp.set_tensor(inp["index"], x)
         interp.invoke()
