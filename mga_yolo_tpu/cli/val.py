@@ -54,7 +54,20 @@ def main(argv=None) -> None:
 
     enable_compile_cache()
     is_tflite = str(args.weights).endswith(".tflite")
-    if is_tflite:
+    is_saved_model = (Path(args.weights) / "saved_model.pb").is_file()
+    if is_saved_model:
+        # validate an exported SavedModel (TF-Serving artifact): load-back
+        # inference with the shared NMS/metrics stack
+        import tensorflow as tf
+
+        loaded = tf.saved_model.load(str(args.weights))
+        sig = loaded.f.concrete_functions[0]
+        in_spec = sig.inputs[0].shape.as_list()  # (B, S, S, 3)
+        sm_batch = int(in_spec[0])
+        imgsz = args.imgsz or int(in_spec[1])
+        nc = None  # resolved from the decoded output below
+        variables = None
+    elif is_tflite:
         # validate an exported deployment artifact (reference `model.val()`
         # on exported formats, engine/exporter.py): the flatbuffer runs on
         # host via the TFLite interpreter, NMS + metrics are shared with the
@@ -75,6 +88,11 @@ def main(argv=None) -> None:
         )
         imgsz = args.imgsz or int(meta.get("imgsz", 640))
         nc = int(meta.get("nc", 1))
+    if is_saved_model:
+        import tensorflow as tf
+
+        probe = loaded.f(tf.zeros((sm_batch, imgsz, imgsz, 3), tf.float32))
+        nc = int([p.shape[-1] for p in probe if len(p.shape) == 3][0]) - 4
     cfg = load_config(
         {"data": args.data, "imgsz": imgsz, "batch": args.batch, "rect": args.rect}
     )
@@ -89,7 +107,24 @@ def main(argv=None) -> None:
         )
         return jnp.concatenate([boxes, scores[..., None], cls[..., None]], axis=-1)
 
-    if is_tflite:
+    if is_saved_model:
+        import tensorflow as tf
+
+        def eval_fn(v, batch):
+            x = np.asarray(batch["image"], np.float32)  # 0-255: /255 is embedded
+            outs = []
+            for i in range(0, x.shape[0], sm_batch):
+                chunk = x[i : i + sm_batch]
+                pad = sm_batch - chunk.shape[0]
+                if pad:
+                    chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+                got = loaded.f(tf.constant(chunk))
+                dec = [p.numpy() for p in got if len(p.shape) == 3][0]
+                outs.append(dec[: sm_batch - pad or None])
+            decoded = jnp.asarray(np.concatenate(outs))
+            return {"decoded": decoded, "dets": nms_fn(decoded),
+                    "items": jnp.zeros((10,), jnp.float32)}
+    elif is_tflite:
         # the flatbuffer's batch is BAKED (reshapes lower with constant
         # shapes; resize_tensor_input silently yields batch-1 outputs and
         # polymorphic-batch export hits TFLite's missing dynamic_gather), so
