@@ -89,6 +89,12 @@ class MGAPredictor:
         decoded, _ = out["det"]
         return decoded, out["seg"]
 
+    def forward_batch(self, x_np: np.ndarray):
+        """(B,S,S,3) uint8 0-255 -> (decoded np, {scale: seg logits np})."""
+        decoded, seg = self._forward(self.variables, jnp.asarray(x_np))
+        return (np.asarray(decoded, np.float32),
+                {k: np.asarray(v, np.float32) for k, v in seg.items()})
+
     def _infer_batch(self, imgs: list, metas: list, batch_size: int) -> List[Results]:
         """Forward one (possibly tail-padded) batch and postprocess each row.
 
@@ -99,10 +105,7 @@ class MGAPredictor:
         n_real = len(imgs)
         if n_real < batch_size:
             imgs = imgs + [imgs[-1]] * (batch_size - n_real)
-        x = jnp.asarray(np.stack(imgs))
-        decoded, seg = self._forward(self.variables, x)
-        decoded = np.asarray(decoded, np.float32)
-        seg_np = {k: np.asarray(v, np.float32) for k, v in seg.items()}
+        decoded, seg_np = self.forward_batch(np.stack(imgs))
         out: List[Results] = []
         for i, (path, orig_shape, ratio_pad) in enumerate(metas):
             dets = nms_numpy(decoded[i], self.conf, self.iou, self.max_det)
@@ -173,6 +176,54 @@ class MGAPredictor:
         return results
 
 
+class TFLitePredictor(MGAPredictor):
+    """Predictor over an exported .tflite artifact (mga-ckpt export-tflite).
+
+    Same stream/__call__/postprocess surface as MGAPredictor; the forward is
+    the TFLite interpreter run at the flatbuffer's baked batch (chunked +
+    tail-padded host-side — see cli/val.py for why resize is unsafe). The
+    exported graph embeds the /255 normalize, so it consumes the same 0-255
+    letterboxed uint8 pixels as the jax path.
+    """
+
+    def __init__(self, tflite_path: str | Path, imgsz: Optional[int] = None,
+                 conf: float = 0.25, iou: float = 0.45, max_det: int = 300, **_ignored):
+        from mga_yolo_tpu.utils.tflite_export import make_interpreter
+
+        self._interp = make_interpreter(model_path=str(tflite_path))
+        self._inp = self._interp.get_input_details()[0]
+        self._fixed_b = int(self._inp["shape"][0])
+        self.imgsz = imgsz or int(self._inp["shape"][1])
+        self.conf = conf
+        self.iou = iou
+        self.max_det = max_det
+        outs = self._interp.get_output_details()
+        self._dec_out = [o for o in outs if len(o["shape"]) == 3][0]
+        # seg maps are the 4-dim outputs; name them by their stride
+        self._seg_outs = {}
+        for o in outs:
+            if len(o["shape"]) == 4:
+                stride = self.imgsz // int(o["shape"][1])
+                self._seg_outs[f"p{int(np.log2(stride))}"] = o
+
+    def forward_batch(self, x_np: np.ndarray):
+        x = np.asarray(x_np, np.float32)
+        dec, segs = [], {k: [] for k in self._seg_outs}
+        for i in range(0, x.shape[0], self._fixed_b):
+            chunk = x[i : i + self._fixed_b]
+            pad = self._fixed_b - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            self._interp.set_tensor(self._inp["index"], chunk)
+            self._interp.invoke()
+            keep = self._fixed_b - pad or None
+            dec.append(self._interp.get_tensor(self._dec_out["index"])[:keep])
+            for k, o in self._seg_outs.items():
+                segs[k].append(self._interp.get_tensor(o["index"])[:keep])
+        return (np.concatenate(dec).astype(np.float32),
+                {k: np.concatenate(v).astype(np.float32) for k, v in segs.items()})
+
+
 def load_predictor(
     ckpt_path: str | Path,
     model_yaml: Optional[str] = None,
@@ -181,6 +232,8 @@ def load_predictor(
     use_pallas: "bool | str | None" = "auto",
     **kw,
 ) -> MGAPredictor:
+    if str(ckpt_path).endswith(".tflite"):
+        return TFLitePredictor(ckpt_path, imgsz=imgsz, **kw)
     from mga_yolo_tpu.utils.checkpoint import rebuild_from_checkpoint
 
     model, variables, meta = rebuild_from_checkpoint(ckpt_path, model_yaml, scale,

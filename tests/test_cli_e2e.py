@@ -142,3 +142,14 @@ def test_tflite_export_and_val_cli(trained_run, tmp_path):
     assert proc.returncode == 0, proc.stderr[-1500:]
     out = json.loads(proc.stdout[proc.stdout.index("{"):])
     assert "metrics/mAP50(B)" in out
+
+    # predict from the same flatbuffer (TFLitePredictor path)
+    pred_dir = tmp_path / "pred_tfl"
+    proc = subprocess.run(
+        [sys.executable, "-m", "mga_yolo_tpu.cli.predict", "--weights", str(tfl),
+         "--source", str(data_yaml.parent / "images" / "train"),
+         "--out", str(pred_dir)],
+        capture_output=True, text=True, timeout=900, env=CPU_ENV,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert list(pred_dir.glob("*_pred.jpg")) and list(pred_dir.glob("*_mask_p3.png"))
