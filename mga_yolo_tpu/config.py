@@ -52,6 +52,11 @@ class AugmentConfig:
     cutmix: float = 0.0
     albumentations: float = 0.0  # pixel-transform adapter prob (needs the optional dep)
     close_mosaic: int = 10  # disable mosaic for last N epochs
+    # run the per-pixel augmentation (warp/HSV/flip/mask pyramid) batched on
+    # the accelerator instead of host cv2 (data/device_augment.py). Falls back
+    # to the host path with a warning when the config needs host-only pieces
+    # (mixup/cutmix/albumentations, strict-skeleton masks).
+    on_device: bool = False
 
 
 @dataclasses.dataclass

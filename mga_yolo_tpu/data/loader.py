@@ -48,6 +48,9 @@ class DataLoader:
         self.shard_index = shard_index
         self.epoch = 0
         self.size_buckets: list[int] | None = None  # bucketed multi-scale sizes
+        # raw mode: emit un-warped canvases + matrices for device-side
+        # augmentation (data/device_augment.py) instead of finished samples
+        self.raw_mode = False
 
     def __len__(self) -> int:
         if getattr(self.dataset, "rect", False):
@@ -116,6 +119,17 @@ class DataLoader:
                 brng = np.random.default_rng(self.seed * 7919 + self.epoch * 104_729 + bi)
                 imgsz = int(brng.choice(self.size_buckets))
             samples = []
+            if self.raw_mode:
+                from mga_yolo_tpu.data import device_augment as DA
+
+                for di in local_idx:
+                    rng = np.random.default_rng(
+                        (self.seed * 1_000_003 + self.epoch * 10_007 + int(di)) % (2**63)
+                    )
+                    samples.append(
+                        DA.build_raw_sample(self.dataset, int(di), rng, use_mosaic, imgsz)
+                    )
+                return DA.collate_raw(samples)
             for j, di in enumerate(local_idx):
                 rng = np.random.default_rng(
                     (self.seed * 1_000_003 + self.epoch * 10_007 + int(di)) % (2**63)

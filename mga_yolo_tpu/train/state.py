@@ -330,7 +330,7 @@ def host_local_to_global(batch: dict, mesh: Mesh):
     """
     import numpy as np
 
-    specs = _batch_shardings(mesh)
+    specs = {**_batch_shardings(mesh), **_raw_batch_shardings(mesh)}
     _, default_sh = shard_batch_specs(mesh)
 
     def to_global(x, sh):
@@ -422,6 +422,31 @@ def _batch_shardings(mesh: Mesh):
         "gt_labels": vec,
         "mask_gt": vec,
         "masks": [img, img, img],
+    }
+
+
+def _raw_batch_shardings(mesh: Mesh):
+    """Input shardings for a raw device-augmentation batch
+    (data/device_augment.py): canvases shard like images, the per-sample
+    matrices/gains/flags are tiny batch-dim vectors. Kept separate from
+    :func:`_batch_shardings` because the jitted step functions' in_shardings
+    pytree must match the train batch structure exactly."""
+    if "space" in mesh.axis_names:
+        img = NamedSharding(mesh, P("data", "space"))
+        vec = NamedSharding(mesh, P("data"))
+    else:
+        img = vec = NamedSharding(mesh, P("data"))
+    return {
+        "canvas": img,
+        "mask_canvas": img,
+        "pboxes": vec,
+        "pcls": vec,
+        "pvalid": vec,
+        "mfwd": vec,
+        "minv": vec,
+        "ascale": vec,
+        "hsv": vec,
+        "flips": vec,
     }
 
 

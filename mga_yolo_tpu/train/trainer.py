@@ -128,6 +128,22 @@ class MGATrainer:
             self.train_loader.size_buckets = sorted(
                 {max(64, round(s * f / 64) * 64) for f in (0.75, 1.0, 1.25)}
             )
+        # device-side augmentation (data/device_augment.py): the loader emits
+        # un-warped canvases + matrices and one jitted XLA program does the
+        # per-pixel warp/HSV/flip/mask-pyramid work batched on the accelerator
+        self._dev_augment = None
+        if cfg.augment.on_device:
+            from mga_yolo_tpu.data import device_augment as DA
+
+            ok, why = DA.supported(cfg)
+            if ok:
+                self.train_loader.raw_mode = True
+                self._dev_augment = DA.make_augment_fn(
+                    cfg, cfg.data.max_boxes,
+                    out_shardings=S._batch_shardings(self.mesh),
+                )
+            else:
+                print(f"[MGA] augment.on_device disabled: {why}; using host path")
         # val set sharded per host like the train set (VERDICT r1: unsharded
         # val duplicated work across hosts); tail batches are padded by the
         # loader and deduplicated by the Validator via the index array
@@ -378,7 +394,14 @@ class MGATrainer:
             if profiling:
                 jax.profiler.start_trace(str(profile_dir))
             # device prefetch: H2D of batch i+1 overlaps compute of batch i
+            aug_cm = None
+            if self._dev_augment is not None:
+                from mga_yolo_tpu.data.device_augment import canvas_multiplier
+
+                aug_cm = canvas_multiplier(self.cfg.augment, not close_mosaic)
             for batch in S.prefetch_to_device(self.train_loader, self.mesh):
+                if aug_cm is not None:
+                    batch = self._dev_augment(batch, batch["canvas"].shape[1] // aug_cm)
                 # host-side global step (ADVICE r1: int(self.state.step) every
                 # iteration blocks on the just-donated device state and
                 # serializes dispatch on the async TPU tunnel)
