@@ -116,16 +116,21 @@ def test_two_process_spmd(tmp_path):
     data_yaml = create_synthetic_dataset(root, n=8, size=64)
     cache = tmp_path / "xla_cache"  # shared by every worker and retry
 
-    # single-process reference: same 8-device mesh, same global batch
+    # single-process reference: same 4-device mesh, same global batch.
+    # (4 global devices, not 8: every virtual device adds a Gloo rank and a
+    # thread on this 1-core host — at 8+8 ranks the first collective can
+    # stall past the coordination heartbeat under load and kill the cluster;
+    # 2x2 exercises the identical multi-process code paths at half the
+    # contention.)
     single = _run_worker_cluster(data_yaml, tmp_path / "single", nprocs=1,
-                                 devices_per_proc=8, cache_dir=cache)[0]
-    assert single["num_devices"] == 8
+                                 devices_per_proc=4, cache_dir=cache)[0]
+    assert single["num_devices"] == 4
 
     duo = _run_cluster_with_retry(data_yaml, tmp_path / "duo", nprocs=2,
-                                  devices_per_proc=4, cache_dir=cache)
+                                  devices_per_proc=2, cache_dir=cache)
     r0 = next(r for r in duo if r["process_id"] == 0)
     r1 = next(r for r in duo if r["process_id"] == 1)
-    assert r0["num_devices"] == 8 and r0["local_devices"] == 4
+    assert r0["num_devices"] == 4 and r0["local_devices"] == 2
 
     # (b) both hosts computed identical global metrics through the ragged
     # allgather — exact equality: they reduce the same gathered stats

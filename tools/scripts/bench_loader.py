@@ -26,7 +26,7 @@ MOSAIC = float(os.environ.get("MGA_BENCH_MOSAIC", "1"))
 WORKERS = int(os.environ.get("MGA_BENCH_WORKERS", "4"))
 
 
-def run_epochs(cache, root: Path, epochs: int = 2) -> dict:
+def run_epochs(cache, root: Path, epochs: int = 2, raw: bool = False) -> dict:
     from mga_yolo_tpu.config import load_config
     from mga_yolo_tpu.data.dataset import MGADataset
     from mga_yolo_tpu.data.loader import DataLoader
@@ -40,16 +40,22 @@ def run_epochs(cache, root: Path, epochs: int = 2) -> dict:
     t_init = time.perf_counter() - t0
 
     dl = DataLoader(ds, BATCH, shuffle=True, workers=WORKERS, drop_last=True)
+    # raw mode = the host half of device-side augmentation
+    # (augment.on_device): decode + letterbox + mosaic placement only; the
+    # warp/HSV/flip/pyramid cost moves into the accelerator's jit program
+    dl.raw_mode = raw
+    key = "canvas" if raw else "image"
     per_epoch = []
     for ep in range(epochs):
         dl.set_epoch(ep)
         t0 = time.perf_counter()
         n_img = 0
         for b in dl:
-            n_img += b["image"].shape[0]
+            n_img += b[key].shape[0]
         per_epoch.append(n_img / (time.perf_counter() - t0))
     return {
         "cache": str(cache),
+        "raw": raw,
         "init_s": round(t_init, 2),
         "img_per_s_cold": round(per_epoch[0], 1),
         "img_per_s_warm": round(per_epoch[-1], 1),
@@ -66,6 +72,7 @@ def main() -> None:
     try:
         create_synthetic_dataset(tmp, n=N, size=IMGSZ)
         rows = [run_epochs(c, tmp) for c in (False, "ram", "disk")]
+        rows += [run_epochs(c, tmp, raw=True) for c in (False, "ram")]
         print(json.dumps({
             "imgsz": IMGSZ, "n_images": N, "batch": BATCH,
             "mosaic": MOSAIC, "workers": WORKERS, "modes": rows,
