@@ -48,11 +48,26 @@ def main() -> None:
             process_id=pid,
         )
 
+    import yaml
+
     from mga_yolo_tpu.config import load_config
     from mga_yolo_tpu.train.trainer import MGATrainer
+    from tests.test_remat import MINI_CFG
+
+    # mini graph, not the full cbam-n: XLA:CPU's Gloo gives each collective
+    # context a hardcoded 30 s rendezvous window at FIRST execution, and on a
+    # 1-core host the full model's per-program compile/AOT-load skew between
+    # the two workers can exceed it (measured: big-model runs flake, a
+    # minimal 2-process psum is rock solid). The multi-process branches this
+    # test proves (input assembly, ragged allgather, rank gating) are
+    # model-size-independent.
+    mini_yaml = Path(project) / "mini_model.yaml"
+    mini_yaml.parent.mkdir(parents=True, exist_ok=True)
+    mini_yaml.write_text(yaml.safe_dump(MINI_CFG))
 
     cfg = load_config(
         dict(
+            model=str(mini_yaml),
             data=data_yaml, imgsz=32, max_boxes=4, batch=8, nbs=8, epochs=2,
             mosaic=0.0, workers=0, project=project, name="dist", exist_ok=True,
             seed=0, plots=False, save=True, amp=False, lr0=0.01,
@@ -75,6 +90,16 @@ def main() -> None:
         "ckpt_exists": (run_dir / "weights" / "best").exists(),
     }
     Path(out_json).write_text(json.dumps(out))
+    # align both workers before interpreter exit: jax's atexit shutdown
+    # barrier has a short window, and end-of-run skew (host 0 writes
+    # CSV/ckpt/final-eval artifacts; compiles contend on a 1-core sandbox)
+    # otherwise kills the cluster AFTER all real work succeeded — the exact
+    # failure observed on a loaded box (Shutdown::* DEADLINE_EXCEEDED, 1/2).
+    # host_barrier goes through the coordination service with an explicit
+    # generous timeout, so the fast worker just waits.
+    from mga_yolo_tpu.train import state as S
+
+    S.host_barrier("dist-worker:done", timeout_ms=30 * 60 * 1000)
     print(f"[dist-worker {pid}] done")
 
 
