@@ -74,13 +74,13 @@ def main(argv=None) -> None:
         # checkpoint path, so the printed mAP is the deployed model's mAP.
         import tensorflow as tf
 
-        from mga_yolo_tpu.utils.tflite_export import make_interpreter
+        from mga_yolo_tpu.utils.tflite_export import decoded_output_details, make_interpreter
 
         interp = make_interpreter(model_path=str(args.weights))
         inp0 = interp.get_input_details()[0]
         imgsz = args.imgsz or int(inp0["shape"][1])
-        out3 = [o for o in interp.get_output_details() if len(o["shape"]) == 3][0]
-        nc = int(out3["shape"][-1]) - 4
+        # one decoded output (combined layout) or boxes+scores (int8 split)
+        dec_outs, nc = decoded_output_details(interp)
         variables = None
     else:
         model, variables, meta = rebuild_from_checkpoint(
@@ -141,7 +141,10 @@ def main(argv=None) -> None:
                     chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
                 interp.set_tensor(inp0["index"], chunk)
                 interp.invoke()
-                outs.append(interp.get_tensor(out3["index"])[: fixed_b - pad or None])
+                keep = fixed_b - pad or None
+                parts = [interp.get_tensor(o["index"])[:keep] for o in dec_outs]
+                outs.append(parts[0] if len(parts) == 1 else
+                            np.concatenate(parts, axis=-1))
             decoded = jnp.asarray(np.concatenate(outs))
             return {"decoded": decoded, "dets": nms_fn(decoded),
                     "items": jnp.zeros((10,), jnp.float32)}

@@ -198,7 +198,11 @@ class TFLitePredictor(MGAPredictor):
         self.iou = iou
         self.max_det = max_det
         outs = self._interp.get_output_details()
-        self._dec_out = [o for o in outs if len(o["shape"]) == 3][0]
+        # combined layout has one rank-3 decoded output; int8 split layout
+        # has (boxes, scores) — concat on the last axis rebuilds decoded
+        from mga_yolo_tpu.utils.tflite_export import decoded_output_details
+
+        self._dec_outs, _ = decoded_output_details(self._interp)
         # seg maps are the 4-dim outputs; name them by their stride
         self._seg_outs = {}
         for o in outs:
@@ -217,7 +221,8 @@ class TFLitePredictor(MGAPredictor):
             self._interp.set_tensor(self._inp["index"], chunk)
             self._interp.invoke()
             keep = self._fixed_b - pad or None
-            dec.append(self._interp.get_tensor(self._dec_out["index"])[:keep])
+            parts = [self._interp.get_tensor(o["index"])[:keep] for o in self._dec_outs]
+            dec.append(parts[0] if len(parts) == 1 else np.concatenate(parts, axis=-1))
             for k, o in self._seg_outs.items():
                 segs[k].append(self._interp.get_tensor(o["index"])[:keep])
         return (np.concatenate(dec).astype(np.float32),

@@ -171,9 +171,9 @@ def rebuild_from_checkpoint(path: str | Path, model_yaml: Optional[str] = None,
     model_yaml = model_yaml or meta.get("model_yaml")
     scale = scale or meta.get("model_scale", "n")
     nc = meta.get("nc")
-    if model_yaml is not None and not Path(model_yaml).exists():
-        # metadata may record a path from another working directory; fall back
-        # to the YAML text embedded in metadata (ADVICE r1: relative
+    if model_yaml is None or not Path(model_yaml).exists():
+        # metadata may record a path from another working directory — or only
+        # the embedded YAML text; fall back to that (ADVICE r1: relative
         # model_yaml breaks mga-ckpt from other cwds)
         yaml_text = meta.get("model_yaml_text")
         if yaml_text:

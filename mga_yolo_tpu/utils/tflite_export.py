@@ -48,7 +48,7 @@ def make_interpreter(model_path: Optional[str] = None,
         return interp
 
 
-def _eval_forward(model, variables):
+def _eval_forward(model, variables, split_decoded: bool = False):
     """(images) -> (decoded, p3, p4, p5) eval-mode closure over numpy weights.
 
     Input contract: **0-255 float32 BGR, letterboxed** — the /255
@@ -56,6 +56,13 @@ def _eval_forward(model, variables):
     (`train/state.py normalize_images`) is embedded in the exported graph,
     so deployment feeds raw pixel values (and int8 calibration sees the
     same domain the graph quantizes over).
+
+    ``split_decoded=True`` returns ``(boxes, scores, p3, p4, p5)`` instead,
+    with ``decoded = concat([boxes, scores], -1)``. Used by static-range
+    int8 export: per-tensor quantization of the combined decode output puts
+    box pixels (0..imgsz) and confidences (0..1) under ONE scale, crushing
+    confidence resolution (measured mAP50 ~0, BASELINE.md export table);
+    split outputs give each range its own scale.
     """
     # numpy-ify so the conversion never touches a (possibly remote) device
     import jax
@@ -67,9 +74,35 @@ def _eval_forward(model, variables):
         out = model.apply(np_vars, images * (1.0 / 255.0), train=False)
         decoded, _ = out["det"]
         seg = out["seg"]
-        return (decoded,) + tuple(seg[k] for k in sorted(seg))
+        segs = tuple(seg[k] for k in sorted(seg))
+        if split_decoded:
+            return (decoded[..., :4], decoded[..., 4:]) + segs
+        return (decoded,) + segs
 
     return fwd
+
+
+def reassemble_decoded(outs: list, nc: Optional[int] = None) -> np.ndarray:
+    """Rebuild the (B, A, 4+nc) decoded head from interpreter output arrays.
+
+    Handles both export layouts: one 3-dim ``decoded`` output, or the int8
+    split pair (boxes (B,A,4), scores (B,A,nc)). Disambiguation is by last
+    dim == 4 for boxes; if nc == 4 makes that ambiguous, output order is
+    used (boxes are returned first by ``_eval_forward``).
+    """
+    three = [np.asarray(o) for o in outs if np.asarray(o).ndim == 3]
+    if len(three) == 1:
+        return three[0]
+    if len(three) != 2:
+        raise ValueError(f"expected 1 or 2 rank-3 outputs, got {len(three)}")
+    a, b = three
+    if a.shape[-1] == 4 and b.shape[-1] != 4:
+        boxes, scores = a, b
+    elif b.shape[-1] == 4 and a.shape[-1] != 4:
+        boxes, scores = b, a
+    else:  # nc == 4: both rank-3 outputs have last dim 4 — trust order
+        boxes, scores = a, b
+    return np.concatenate([boxes, scores], axis=-1)
 
 
 def _representative_gen(source, batch: int, size: int, n_max: int = 32):
@@ -129,6 +162,25 @@ def _representative_gen(source, batch: int, size: int, n_max: int = 32):
     return gen
 
 
+def decoded_output_details(interp) -> tuple[list, int]:
+    """(rank-3 output details in concat order, nc) for a loaded interpreter.
+
+    Returns ``([decoded], nc)`` for combined-layout artifacts and
+    ``([boxes, scores], nc)`` for int8 split-layout ones; gathering the
+    listed tensors and concatenating on the last axis always yields the
+    (B, A, 4+nc) decoded head.
+    """
+    dets = [o for o in interp.get_output_details() if len(o["shape"]) == 3]
+    if len(dets) == 1:
+        return dets, int(dets[0]["shape"][-1]) - 4
+    if len(dets) != 2:
+        raise ValueError(f"expected 1 or 2 rank-3 outputs, got {len(dets)}")
+    a, b = dets
+    if int(b["shape"][-1]) == 4 and int(a["shape"][-1]) != 4:
+        a, b = b, a  # boxes first; nc==4 ties fall back to output order
+    return [a, b], int(b["shape"][-1])
+
+
 def export_tflite(
     ckpt_path: str | Path,
     out_path: Optional[str | Path] = None,
@@ -156,7 +208,7 @@ def export_tflite(
         ckpt_path, model_yaml, scale, use_pallas=False
     )
     size = int(imgsz or meta.get("imgsz", 640))
-    fwd = _eval_forward(model, variables)
+    fwd = _eval_forward(model, variables, split_decoded=quantize == "int8")
     example = np.zeros((batch, size, size, 3), np.float32)
 
     converter = tf.lite.TFLiteConverter.experimental_from_jax(
@@ -168,29 +220,26 @@ def export_tflite(
     elif quantize == "dynamic":
         converter.optimizations = [tf.lite.Optimize.DEFAULT]
     elif quantize == "int8":
-        # EXPERIMENTAL static-range int8. Two measured caveats on MGA
-        # graphs (BASELINE.md export table): (a) quantized DIV traps on the
-        # masked-pool eps denominator, so DIV is denylisted to float via the
-        # QuantizationDebugger; (b) the decoded head concatenates box pixels
-        # (0..imgsz) with confidences (0..1) under one per-tensor scale,
-        # which crushes confidence resolution — measured mAP50 0.0 on a
-        # demo model whose fp16/dynamic exports match fp32 exactly. Prefer
-        # --quantize dynamic (weights-only: smallest artifact, exact mAP);
-        # always check the artifact with `mga-val --weights model.tflite`.
-        import logging
-
-        logging.getLogger("mga.export").warning(
-            "int8 static-range is experimental for MGA graphs: the shared "
-            "decode scale crushes confidences (measured mAP50 ~0). Use "
-            "--quantize dynamic, and validate with mga-val on the .tflite."
-        )
+        # Static-range int8, selectively quantized. Measured caveats on MGA
+        # graphs (BASELINE.md export table) and their fixes: (a) quantized
+        # DIV traps on the masked-pool eps denominator — DIV is denylisted
+        # to float via the QuantizationDebugger; (b) a combined decode
+        # output puts box pixels (0..imgsz) and confidences (0..1) under
+        # one per-tensor scale, crushing confidence resolution (measured
+        # mAP50 ~0) — the int8 graph therefore exports boxes and scores as
+        # SEPARATE outputs (each with its own scale; consumers reassemble
+        # via reassemble_decoded); (c) SOFTMAX is denylisted so the 16-bin
+        # DFL distribution keeps float resolution through the box decode.
+        # Box outputs still dequantize at imgsz/255 px resolution (~2.5 px
+        # at 640) — validate with `mga-val --weights model.tflite`; use
+        # --quantize dynamic when exact mAP at the smallest size is the goal.
         converter.optimizations = [tf.lite.Optimize.DEFAULT]
         rep = _representative_gen(representative, batch, size)
         converter.representative_dataset = rep
         dbg = tf.lite.experimental.QuantizationDebugger(
             converter=converter, debug_dataset=rep,
             debug_options=tf.lite.experimental.QuantizationDebugOptions(
-                denylisted_ops=["DIV"]
+                denylisted_ops=["DIV", "SOFTMAX"]
             ),
         )
         flatbuffer = dbg.get_nondebug_quantized_model()
@@ -222,9 +271,10 @@ def export_tflite(
         interp.invoke()
         outs = [interp.get_tensor(o["index"]) for o in interp.get_output_details()]
         info["outputs"] = [tuple(o.shape) for o in outs]
-        # match the decoded head by shape (TFLite may reorder outputs)
-        ref_dec = np.asarray(ref[0])
-        dec = next(o for o in outs if o.shape == ref_dec.shape)
+        # compare the (reassembled) decoded head; rank-3 outputs are the
+        # decode tensors in both the combined and the int8 split layouts
+        ref_dec = reassemble_decoded([np.asarray(r) for r in ref])
+        dec = reassemble_decoded(outs)
         info["max_abs_diff_decoded"] = float(np.max(np.abs(dec - ref_dec)))
     return info
 

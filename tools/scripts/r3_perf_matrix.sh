@@ -28,9 +28,10 @@ run stepparts_b64  2400 MGA_BENCH_BATCH=64  MGA_BENCH_PALLAS=0 -- python tools/s
 run stepparts_b128 2400 MGA_BENCH_BATCH=128 MGA_BENCH_PALLAS=0 -- python tools/scripts/bench_step_parts.py
 
 # train throughput A/B: baseline vs remat at b128; remat enables b256
-run train_b128_base  2400 MGA_BENCH_BATCH=128 -- python tools/scripts/bench_train.py
-run train_b128_remat 2400 MGA_BENCH_BATCH=128 MGA_BENCH_REMAT=1 -- python tools/scripts/bench_train.py
-run train_b256_remat 2400 MGA_BENCH_BATCH=256 MGA_BENCH_REMAT=1 -- python tools/scripts/bench_train.py
+# (bench_train reads MGA_BENCH_BATCHES — a comma list, not MGA_BENCH_BATCH)
+run train_b128_base  2400 MGA_BENCH_BATCHES=128 -- python tools/scripts/bench_train.py
+run train_b128_remat 2400 MGA_BENCH_BATCHES=128 MGA_BENCH_REMAT=1 -- python tools/scripts/bench_train.py
+run train_b256_remat 2400 MGA_BENCH_BATCHES=256 MGA_BENCH_REMAT=1 -- python tools/scripts/bench_train.py
 
 # shipped-default inference headline (outer timeout > bench.py's own
 # 2700 s watchdog so the explicit JSON error can fire before SIGTERM)
