@@ -42,10 +42,31 @@ def select_candidates_in_gts(xy_centers: jax.Array, gt_bboxes: jax.Array, eps: f
     """
     lt = gt_bboxes[..., None, :2]  # (B,M,1,2)
     rb = gt_bboxes[..., None, 2:]  # (B,M,1,2)
-    deltas = jnp.concatenate(
-        [xy_centers[None, None] - lt, rb - xy_centers[None, None]], axis=-1
-    )  # (B,M,A,4)
-    return deltas.min(-1) > eps
+    xy = xy_centers[None, None]    # (1,1,A,2)
+    # two (B,M,A) mins instead of concatenating a (B,M,A,4) delta tensor:
+    # the concat forces a 4x materialization (550 MB at b128/8400 anchors)
+    # that the fused min chain never creates
+    d_min = jnp.minimum((xy - lt).min(-1), (rb - xy).min(-1))  # (B,M,A)
+    return d_min > eps
+
+
+def _fast_pow(x: jax.Array, p: float) -> jax.Array:
+    """x**p with strength reduction for the assigner's default exponents.
+
+    ``x**0.5``/``x**6.0`` as generic pow lower to exp(p*log(x)) — two VPU
+    transcendentals over the (B,M,A) metric matrices. sqrt and repeated
+    multiplication compute the same values (to ulp; the metric only feeds
+    threshold compares and a max-normalization) without the transcendental
+    cost. Falls back to generic pow for non-default exponents."""
+    if p == 0.5:
+        return jnp.sqrt(x)
+    if float(p).is_integer() and 1 <= int(p) <= 8:
+        n = int(p)
+        out = x
+        for _ in range(n - 1):
+            out = out * x
+        return out
+    return x**p
 
 
 def task_aligned_assigner(
@@ -78,7 +99,7 @@ def task_aligned_assigner(
         jnp.clip(bbox_iou_ciou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :]), 0, None)
         * cand
     )  # (B,M,A)
-    align_metric = bbox_scores**alpha * overlaps**beta
+    align_metric = _fast_pow(bbox_scores, alpha) * _fast_pow(overlaps, beta)
 
     # ---- top-k per gt over anchors (reference select_topk_candidates tal.py:203-233) ----
     # Threshold formulation: an anchor is selected iff its metric reaches the

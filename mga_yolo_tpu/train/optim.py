@@ -265,3 +265,143 @@ def ema_update(ema: Params, params: Params, updates: jax.Array, decay: float, ta
     optimizer-step count, incremented once per apply (not per micro-batch)."""
     d = decay * (1.0 - jnp.exp(-updates.astype(jnp.float32) / tau))
     return jax.tree_util.tree_map(lambda e, p: e * d + p * (1.0 - d), ema, params)
+
+
+# ------------------------------------------------------------- flat buffers
+#
+# The per-leaf tree_map update above lowers to hundreds of tiny HLOs (one
+# fused kernel per tensor for clip, SGD and EMA each); on TPU every HLO
+# carries a fixed dispatch cost, so the measured opt+EMA segment of the
+# train step was ~12 ms @ b128 for ~36 MB of traffic — two orders of
+# magnitude over the HBM speed-of-light (tools/scripts/bench_step_parts.py,
+# BASELINE.md round-3 matrix). The flat path concatenates gradients once and
+# does all update math on single (N,) vectors — measured 3.5x faster
+# standalone (tools/scripts/bench_opt_fuse.py) and element-for-element
+# IDENTICAL math (concat/slice reorder nothing; tests/test_optim_parity.py
+# pins bit-equality vs the tree path). Momentum/EMA buffers live flat inside
+# TrainState; checkpoint.py unflattens at save so the on-disk format is
+# unchanged. No reference equivalent — torch applies per-tensor updates
+# (engine/trainer.py:713-717); this is a TPU-specific dispatch optimization.
+
+
+class FlatMeta:
+    """Static flatten/unflatten recipe for one pytree structure."""
+
+    __slots__ = ("treedef", "shapes", "sizes", "offsets", "dtypes", "total")
+
+    def __init__(self, tree):
+        import numpy as np
+
+        leaves, self.treedef = jax.tree_util.tree_flatten(tree)
+        self.shapes = tuple(tuple(l.shape) for l in leaves)
+        self.dtypes = tuple(l.dtype for l in leaves)
+        self.sizes = tuple(int(np.prod(s)) if s else 1 for s in self.shapes)
+        self.offsets = tuple(int(o) for o in np.cumsum((0,) + self.sizes[:-1]))
+        self.total = int(sum(self.sizes))
+
+    def unflatten(self, flat: jax.Array):
+        parts = [
+            flat[o : o + s].astype(dt).reshape(shape)
+            for o, s, dt, shape in zip(self.offsets, self.sizes, self.dtypes, self.shapes)
+        ]
+        return jax.tree_util.tree_unflatten(self.treedef, parts)
+
+
+def flatten_tree(tree, dtype=jnp.float32) -> jax.Array:
+    """Concat all leaves (tree_leaves order) into one 1-D ``dtype`` vector."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        return jnp.zeros((0,), dtype)
+    return jnp.concatenate([jnp.ravel(l).astype(dtype) for l in leaves])
+
+
+def flat_group_tags(params: Params) -> jax.Array:
+    """Per-element group tags (uint8, :func:`param_groups` semantics) aligned
+    with :func:`flatten_tree` order. Built host-side at trace time — it is a
+    pure function of the (static) tree structure, embedded as a ~3 MB
+    constant."""
+    import numpy as np
+
+    meta = FlatMeta(params)
+    tag_leaves = jax.tree_util.tree_leaves(param_groups(params))
+    return jnp.asarray(
+        np.concatenate(
+            [np.full(s, t, np.uint8) for s, t in zip(meta.sizes, tag_leaves)]
+        )
+        if meta.sizes
+        else np.zeros((0,), np.uint8)
+    )
+
+
+def clip_by_global_norm_flat(flat_g: jax.Array, max_norm: float) -> jax.Array:
+    sq = jnp.sum(jnp.square(flat_g.astype(jnp.float32)))
+    scale = jnp.minimum(1.0, max_norm / (jnp.sqrt(sq) + 1e-6))
+    return flat_g * scale.astype(flat_g.dtype)
+
+
+def init_flat_opt_state(opt_name: str, total: int) -> dict:
+    zeros = lambda: jnp.zeros((total,), jnp.float32)
+    if opt_name == "sgd":
+        return {"m": zeros()}
+    if opt_name in ("adam", "adamw"):
+        return {"m": zeros(), "v": zeros()}
+    if opt_name == "rmsprop":
+        return {"m": zeros(), "sq": zeros()}
+    raise ValueError(opt_name)
+
+
+def make_flat_update_fn(opt_name: str, weight_decay: float, nesterov: bool = True):
+    """Flat-vector twin of :func:`make_update_fn`:
+    ``update(flat_p, flat_g, opt_state, tags, lr, lr_bias, momentum, opt_step)
+    -> (new_flat_p, new_opt_state)``. Same math, same decay conventions."""
+
+    if opt_name == "sgd":
+
+        def update(flat_p, flat_g, opt_state, tags, lr, lr_bias, momentum, opt_step):
+            g = flat_g + jnp.where(tags == 0, weight_decay, 0.0) * flat_p
+            buf = momentum * opt_state["m"] + g
+            d = g + momentum * buf if nesterov else buf
+            step_lr = jnp.where(tags == 2, lr_bias, lr)
+            return flat_p - step_lr * d, {"m": buf}
+
+    elif opt_name in ("adam", "adamw"):
+        beta2, eps = 0.999, 1e-8
+        decoupled = opt_name == "adamw"
+
+        def update(flat_p, flat_g, opt_state, tags, lr, lr_bias, momentum, opt_step):
+            b1 = momentum
+            t = opt_step.astype(jnp.float32)
+            bc1 = 1.0 - jnp.power(b1, t)
+            bc2 = 1.0 - beta2 ** t
+            g = flat_g
+            if not decoupled:
+                g = g + jnp.where(tags == 0, weight_decay, 0.0) * flat_p
+            m = b1 * opt_state["m"] + (1.0 - b1) * g
+            v = beta2 * opt_state["v"] + (1.0 - beta2) * jnp.square(g)
+            step_lr = jnp.where(tags == 2, lr_bias, lr)
+            p = flat_p
+            if decoupled:
+                p = p * (1.0 - step_lr * jnp.where(tags == 0, weight_decay, 0.0))
+            new_p = p - step_lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            return new_p, {"m": m, "v": v}
+
+    elif opt_name == "rmsprop":
+        alpha, eps = 0.99, 1e-8
+
+        def update(flat_p, flat_g, opt_state, tags, lr, lr_bias, momentum, opt_step):
+            g = flat_g + jnp.where(tags == 0, weight_decay, 0.0) * flat_p
+            sq = alpha * opt_state["sq"] + (1.0 - alpha) * jnp.square(g)
+            m = momentum * opt_state["m"] + g / (jnp.sqrt(sq) + eps)
+            step_lr = jnp.where(tags == 2, lr_bias, lr)
+            return flat_p - step_lr * m, {"m": m, "sq": sq}
+
+    else:
+        raise ValueError(opt_name)
+
+    return update
+
+
+def ema_update_flat(ema_flat: jax.Array, new_flat: jax.Array, updates: jax.Array,
+                    decay: float, tau: float) -> jax.Array:
+    d = decay * (1.0 - jnp.exp(-updates.astype(jnp.float32) / tau))
+    return ema_flat * d + new_flat * (1.0 - d)

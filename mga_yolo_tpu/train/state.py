@@ -31,11 +31,11 @@ class TrainState(struct.PyTreeNode):
     last_apply: jax.Array    # micro-step of the last optimizer apply
     params: Any
     batch_stats: Any
-    opt_state: Any           # optimizer slot buffers ({"m"[, "v"|"sq"]} trees)
-    ema_params: Any
-    ema_batch_stats: Any
+    opt_state: Any           # optimizer slot buffers ({"m"[, "v"|"sq"]} FLAT (N,) vectors)
+    ema_params: Any          # FLAT (N,) float32, flatten_tree(params) order
+    ema_batch_stats: Any     # FLAT (K,) float32 or None (no BN stats)
     groups: Any = struct.field(pytree_node=True)
-    accum_grads: Any = None  # gradient accumulation buffer (None when accumulate == 1)
+    accum_grads: Any = None  # FLAT gradient accumulation buffer (None when accumulate == 1)
 
 
 def create_train_state(model, rng, imgsz: int, batch: int = 1, opt_name: str = "sgd") -> TrainState:
@@ -45,18 +45,35 @@ def create_train_state(model, rng, imgsz: int, batch: int = 1, opt_name: str = "
     params = dict(variables["params"])
     params["mtl_log_vars"] = jnp.zeros((2,), jnp.float32)  # Kendall s_det, s_seg
     batch_stats = variables.get("batch_stats", {})
+    # momentum/EMA buffers are stored FLAT (single (N,) vectors): the per-leaf
+    # update lowers to hundreds of tiny HLOs whose fixed dispatch cost was
+    # ~12 ms/step @ b128 (bench_step_parts.py); flat math is one kernel per
+    # op (bench_opt_fuse.py: 3.5x). checkpoint.py unflattens at save so the
+    # on-disk format stays structured.
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         opt_step=jnp.zeros((), jnp.int32),
         last_apply=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=optim.init_opt_state(opt_name, params),
-        ema_params=jax.tree_util.tree_map(jnp.copy, params),
-        ema_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+        opt_state=optim.init_flat_opt_state(opt_name, optim.FlatMeta(params).total),
+        ema_params=optim.flatten_tree(params),
+        ema_batch_stats=optim.flatten_tree(batch_stats) if batch_stats else None,
         groups=optim.param_groups(params),
         accum_grads=None,
     )
+
+
+def ema_variables(state: TrainState) -> tuple[dict, dict]:
+    """Structured ``(ema_params, ema_batch_stats)`` trees from the flat
+    EMA buffers (templates: ``state.params`` / ``state.batch_stats``)."""
+    params = optim.FlatMeta(state.params).unflatten(state.ema_params)
+    bs = (
+        optim.FlatMeta(state.batch_stats).unflatten(state.ema_batch_stats)
+        if state.ema_batch_stats is not None and state.batch_stats
+        else {}
+    )
+    return params, bs
 
 
 def normalize_images(images: jax.Array) -> jax.Array:
@@ -133,34 +150,44 @@ def make_train_step(
         new_bs = _cast_floating(mutated.get("batch_stats", {}), jnp.float32)
         return total, (new_bs, items, logs)
 
-    update_fn = optim.make_update_fn(opt_name, weight_decay, nesterov)
+    update_fn = optim.make_flat_update_fn(opt_name, weight_decay, nesterov)
 
-    def apply_update(state, grads, lr, lr_bias, momentum, opt_step):
+    def apply_update(state, flat_grads, tags, lr, lr_bias, momentum, opt_step, meta_p):
+        # flat-buffer update: one kernel per op instead of one per tensor
+        # (optim.py "flat buffers" note; 3.5x measured, bench_opt_fuse.py)
         if max_grad_norm and max_grad_norm > 0:
-            grads = optim.clip_by_global_norm(grads, max_grad_norm)
-        new_params, new_opt = update_fn(
-            state.params, grads, state.opt_state, state.groups,
+            flat_grads = optim.clip_by_global_norm_flat(flat_grads, max_grad_norm)
+        flat_params = optim.flatten_tree(state.params)
+        new_flat, new_opt = update_fn(
+            flat_params, flat_grads, state.opt_state, tags,
             lr, lr_bias, momentum, opt_step,
         )
-        ema_params = optim.ema_update(state.ema_params, new_params, opt_step, ema_decay, ema_tau)
+        new_params = meta_p.unflatten(new_flat)
+        ema_params = optim.ema_update_flat(state.ema_params, new_flat, opt_step, ema_decay, ema_tau)
         return new_params, new_opt, ema_params
+
+    def ema_bs_update(state, new_bs, opt_step):
+        if not new_bs or state.ema_batch_stats is None:
+            return state.ema_batch_stats
+        return optim.ema_update_flat(
+            state.ema_batch_stats, optim.flatten_tree(new_bs), opt_step, ema_decay, ema_tau
+        )
 
     def train_step(state: TrainState, batch, lr, lr_bias, momentum, rng):
         (total, (new_bs, items, logs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, rng
         )
+        meta_p = optim.FlatMeta(state.params)  # static (trace-time) recipe
+        tags = optim.flat_group_tags(state.params)
+        flat_grads = optim.flatten_tree(grads)
         step = state.step + 1
 
         if accumulate <= 1:
             opt_step = state.opt_step + 1
             new_params, new_opt, ema_params = apply_update(
-                state, grads, lr, lr_bias, momentum, opt_step
+                state, flat_grads, tags, lr, lr_bias, momentum, opt_step, meta_p
             )
-            ema_bs = (
-                optim.ema_update(state.ema_batch_stats, new_bs, opt_step, ema_decay, ema_tau)
-                if new_bs
-                else state.ema_batch_stats
-            )
+            ema_bs = ema_bs_update(state, new_bs, opt_step)
             new_state = state.replace(
                 step=step,
                 opt_step=opt_step,
@@ -174,11 +201,13 @@ def make_train_step(
         else:
             # gradient accumulation to the nominal batch size (reference
             # trainer accumulate = nbs/batch, engine/trainer.py:399);
-            # BN stats still update every micro-step like torch
+            # BN stats still update every micro-step like torch.
+            # The buffer is FLAT: one add per micro-step instead of one per
+            # tensor.
             acc0 = state.accum_grads
             if acc0 is None:
-                acc0 = jax.tree_util.tree_map(jnp.zeros_like, grads)
-            acc = jax.tree_util.tree_map(jnp.add, acc0, grads)
+                acc0 = jnp.zeros_like(flat_grads)
+            acc = acc0 + flat_grads
             if warmup_steps > 0:
                 # reference ramps accumulate 1 -> nbs/batch over warmup
                 # (trainer.py:467 np.interp(ni, [0, nw], [1, nbs/batch]).round())
@@ -191,15 +220,10 @@ def make_train_step(
             def yes(_):
                 opt_step = state.opt_step + 1
                 new_params, new_opt, ema_params = apply_update(
-                    state, acc, lr, lr_bias, momentum, opt_step
+                    state, acc, tags, lr, lr_bias, momentum, opt_step, meta_p
                 )
-                ema_bs = (
-                    optim.ema_update(state.ema_batch_stats, new_bs, opt_step, ema_decay, ema_tau)
-                    if new_bs
-                    else state.ema_batch_stats
-                )
-                zeros = jax.tree_util.tree_map(jnp.zeros_like, acc)
-                return new_params, new_opt, ema_params, ema_bs, zeros, opt_step, step
+                ema_bs = ema_bs_update(state, new_bs, opt_step)
+                return new_params, new_opt, ema_params, ema_bs, jnp.zeros_like(acc), opt_step, step
 
             def no(_):
                 return (
@@ -250,12 +274,13 @@ def make_eval_step(
 
     def eval_step(state: TrainState, batch):
         images = normalize_images(batch["image"]).astype(compute_dtype)
-        ema = {k: v for k, v in state.ema_params.items() if k != "mtl_log_vars"}
+        ema_tree, ema_bs = ema_variables(state)  # unflatten the flat EMA buffers
+        ema = {k: v for k, v in ema_tree.items() if k != "mtl_log_vars"}
         if compute_dtype != jnp.float32:
             ema = _cast_floating(ema, compute_dtype)
         model_vars = {"params": ema}
-        if state.ema_batch_stats:
-            model_vars["batch_stats"] = state.ema_batch_stats
+        if ema_bs:
+            model_vars["batch_stats"] = ema_bs
         out = model.apply(model_vars, images, train=False)
         decoded, raw = out["det"]
         decoded = decoded.astype(jnp.float32)
@@ -270,7 +295,7 @@ def make_eval_step(
             loss_batch,
             strides,
             nc,
-            state.ema_params["mtl_log_vars"],
+            ema_tree["mtl_log_vars"],
             det_cfg,
             seg_cfg,
         )

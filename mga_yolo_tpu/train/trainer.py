@@ -200,9 +200,13 @@ class MGATrainer:
             self.model, jax.random.PRNGKey(t.seed), cfg.data.imgsz, opt_name=self.opt.name
         )
         if self.accumulate > 1:
-            # pre-allocate the accumulation buffer so the jit signature is stable
+            # pre-allocate the (flat) accumulation buffer so the jit signature
+            # is stable
+            from mga_yolo_tpu.train import optim as _optim
+
             self.state = self.state.replace(
-                accum_grads=jax.tree_util.tree_map(jnp.zeros_like, self.state.params)
+                accum_grads=jnp.zeros((_optim.FlatMeta(self.state.params).total,),
+                                      jnp.float32)
             )
         self._train_step = S.jit_train_step(
             S.make_train_step(
@@ -309,8 +313,9 @@ class MGATrainer:
         tap registry (GraphSpec.attention_taps), not by parsing param names."""
         out = {}
         taps = self.spec.attention_taps
+        ema_tree, _ = S.ema_variables(self.state)
         for name, tag in taps.items():
-            sub = self.state.ema_params.get(name)
+            sub = ema_tree.get(name)
             if not isinstance(sub, dict) or "beta" not in sub:
                 continue
             out[f"alpha_{tag}"] = float(np.log1p(np.exp(np.asarray(sub["beta"]))))
@@ -319,8 +324,9 @@ class MGATrainer:
     def _collect_spade_stats(self) -> dict:
         """SPADE gamma/beta conv weight statistics (reference trainer.py:323-367)."""
         out = {}
+        ema_tree, _ = S.ema_variables(self.state)
         for name, tag in self.spec.attention_taps.items():
-            sub = self.state.ema_params.get(name)
+            sub = ema_tree.get(name)
             if not isinstance(sub, dict) or "conv_gamma" not in sub:
                 continue
             g = np.asarray(sub["conv_gamma"]["kernel"])

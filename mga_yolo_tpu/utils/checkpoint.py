@@ -39,17 +39,33 @@ def _donation_safe_copy(tree):
     return jax.tree_util.tree_map(jnp_copy, tree)
 
 
+def _structured_views(state):
+    """(opt_state, ema_params, ema_batch_stats) as STRUCTURED trees.
+
+    TrainState stores momentum/EMA flat (train/state.py flat-buffer note);
+    the on-disk checkpoint format stays structured — unflattening here keeps
+    old and new checkpoints byte-layout compatible in both directions."""
+    from mga_yolo_tpu.train.optim import FlatMeta
+    from mga_yolo_tpu.train.state import ema_variables
+
+    meta_p = FlatMeta(state.params)
+    opt_state = {k: meta_p.unflatten(v) for k, v in state.opt_state.items()}
+    ema_params, ema_bs = ema_variables(state)
+    return opt_state, ema_params, ema_bs
+
+
 def _payload(state, to_numpy: bool = True):
     conv = _to_numpy_tree if to_numpy else _donation_safe_copy
+    opt_state, ema_params, ema_bs = _structured_views(state)
     return {
         "step": conv(state.step),
         "opt_step": conv(state.opt_step),
         "last_apply": conv(state.last_apply),
         "params": conv(state.params),
         "batch_stats": conv(state.batch_stats),
-        "opt_state": conv(state.opt_state),
-        "ema_params": conv(state.ema_params),
-        "ema_batch_stats": conv(state.ema_batch_stats),
+        "opt_state": conv(opt_state),
+        "ema_params": conv(ema_params),
+        "ema_batch_stats": conv(ema_bs),
     }
 
 
@@ -122,17 +138,24 @@ def load_checkpoint(path: str | Path, state) -> Tuple[Any, dict]:
     """Restore into an existing TrainState (template provides the structure)."""
     import orbax.checkpoint as ocp
 
+    from mga_yolo_tpu.train.optim import flatten_tree
+
     wait_for_saves()  # an async save of this very path may still be in flight
     path = Path(path).absolute()
+    # on-disk format is STRUCTURED (see _structured_views); build structured
+    # templates from the params/batch_stats trees and re-flatten after restore
+    params_np = _to_numpy_tree(state.params)
+    bs_np = _to_numpy_tree(state.batch_stats)
     template = {
         "step": np.asarray(state.step),
         "opt_step": np.asarray(state.opt_step),
         "last_apply": np.asarray(state.last_apply),
-        "params": _to_numpy_tree(state.params),
-        "batch_stats": _to_numpy_tree(state.batch_stats),
-        "opt_state": _to_numpy_tree(state.opt_state),
-        "ema_params": _to_numpy_tree(state.ema_params),
-        "ema_batch_stats": _to_numpy_tree(state.ema_batch_stats),
+        "params": params_np,
+        "batch_stats": bs_np,
+        "opt_state": {k: jax.tree_util.tree_map(np.copy, params_np)
+                      for k in state.opt_state},
+        "ema_params": jax.tree_util.tree_map(np.copy, params_np),
+        "ema_batch_stats": jax.tree_util.tree_map(np.copy, bs_np),
     }
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path, template)
@@ -144,9 +167,10 @@ def load_checkpoint(path: str | Path, state) -> Tuple[Any, dict]:
         last_apply=restored["last_apply"],
         params=restored["params"],
         batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
-        ema_params=restored["ema_params"],
-        ema_batch_stats=restored["ema_batch_stats"],
+        opt_state={k: flatten_tree(v) for k, v in restored["opt_state"].items()},
+        ema_params=flatten_tree(restored["ema_params"]),
+        ema_batch_stats=(flatten_tree(restored["ema_batch_stats"])
+                         if restored.get("ema_batch_stats") else None),
     )
     return new_state, meta
 
@@ -195,9 +219,13 @@ def rebuild_from_checkpoint(path: str | Path, model_yaml: Optional[str] = None,
         opt_name=meta.get("optimizer", "sgd"),
     )
     state, _ = load_checkpoint(path, state)
-    params = state.ema_params if prefer_ema else state.params
+    if prefer_ema:
+        from mga_yolo_tpu.train.state import ema_variables
+
+        params, bs = ema_variables(state)
+    else:
+        params, bs = state.params, state.batch_stats
     variables = {"params": {k: v for k, v in params.items() if k != "mtl_log_vars"}}
-    bs = state.ema_batch_stats if prefer_ema else state.batch_stats
     if bs:
         variables["batch_stats"] = bs
     return model, variables, meta

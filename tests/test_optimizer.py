@@ -143,3 +143,72 @@ def test_auto_rule():
     assert optim.resolve_optimizer("NAdam", 1, 1, 0.01, 0.9, 0.1).name == "adam"
     with pytest.raises(ValueError):
         optim.resolve_optimizer("lion", 1, 1, 0.01, 0.9, 0.1)
+
+
+# ----------------------------------------------------------- flat-buffer path
+#
+# The train step stores momentum/EMA flat and updates via make_flat_update_fn
+# (train/optim.py "flat buffers": one kernel per op instead of one per tensor,
+# 3.5x measured). The math must be element-for-element identical to the
+# per-leaf path that is torch-parity-tested above.
+
+import jax
+
+
+def _flat_steps(opt_name, params, grads, wd, lr, lr_bias, momentum, steps=3):
+    jp = {k: {n: jnp.asarray(v) for n, v in sub.items()} for k, sub in params.items()}
+    jg = {k: {n: jnp.asarray(v) for n, v in sub.items()} for k, sub in grads.items()}
+    meta = optim.FlatMeta(jp)
+    tags = optim.flat_group_tags(jp)
+    flat_p = optim.flatten_tree(jp)
+    st = optim.init_flat_opt_state(opt_name, meta.total)
+    fn = optim.make_flat_update_fn(opt_name, wd, nesterov=True)
+    for t in range(1, steps + 1):
+        flat_p, st = fn(flat_p, optim.flatten_tree(jg), st, tags, lr, lr_bias,
+                        momentum, jnp.asarray(t, jnp.int32))
+    out = meta.unflatten(flat_p)
+    return {k: {n: np.asarray(v) for n, v in sub.items()} for k, sub in out.items()}
+
+
+@pytest.mark.parametrize("opt_name", ["sgd", "adam", "adamw", "rmsprop"])
+def test_flat_update_matches_tree(opt_name):
+    params, grads = _tree()
+    tree_out = _jax_step(opt_name, params, grads, WD, LR, LRB, MOM, steps=3)
+    flat_out = _flat_steps(opt_name, params, grads, WD, LR, LRB, MOM, steps=3)
+    for k in tree_out:
+        for n in tree_out[k]:
+            np.testing.assert_array_equal(
+                flat_out[k][n], tree_out[k][n], err_msg=f"{opt_name} {k}/{n}"
+            )
+
+
+def test_flat_clip_and_ema_match_tree():
+    params, grads = _tree()
+    jp = {k: {n: jnp.asarray(v) for n, v in sub.items()} for k, sub in params.items()}
+    jg = {k: {n: jnp.asarray(v * 100.0) for n, v in sub.items()} for k, sub in grads.items()}
+    meta = optim.FlatMeta(jp)
+    # clip: summation ORDER differs (per-leaf partial sums vs one reduction),
+    # so allclose instead of array_equal for the norm-derived scale
+    tree_g = optim.clip_by_global_norm(jg, 10.0)
+    flat_g = optim.clip_by_global_norm_flat(optim.flatten_tree(jg), 10.0)
+    np.testing.assert_allclose(
+        np.asarray(flat_g), np.asarray(optim.flatten_tree(tree_g)), rtol=1e-6
+    )
+    # EMA: identical lerp
+    upd = jnp.asarray(7, jnp.int32)
+    tree_e = optim.ema_update(jp, jg, upd, 0.9999, 2000.0)
+    flat_e = optim.ema_update_flat(optim.flatten_tree(jp), optim.flatten_tree(jg),
+                                   upd, 0.9999, 2000.0)
+    np.testing.assert_array_equal(np.asarray(flat_e),
+                                  np.asarray(optim.flatten_tree(tree_e)))
+
+
+def test_flat_meta_roundtrip():
+    params, _ = _tree()
+    jp = {k: {n: jnp.asarray(v) for n, v in sub.items()} for k, sub in params.items()}
+    meta = optim.FlatMeta(jp)
+    back = meta.unflatten(optim.flatten_tree(jp))
+    assert jax.tree_util.tree_structure(back) == jax.tree_util.tree_structure(jp)
+    for a, b in zip(jax.tree_util.tree_leaves(back), jax.tree_util.tree_leaves(jp)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

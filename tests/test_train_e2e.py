@@ -80,8 +80,11 @@ def test_checkpoint_roundtrip(run):
     out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
     decoded, _ = out["det"]
     assert decoded.shape[0] == 1
-    # restored EMA params match the trainer's
-    a = np.asarray(trainer.state.ema_params["l0_Conv"]["conv"]["kernel"])
+    # restored EMA params match the trainer's (EMA is stored flat in state)
+    from mga_yolo_tpu.train.state import ema_variables
+
+    ema_tree, _ = ema_variables(trainer.state)
+    a = np.asarray(ema_tree["l0_Conv"]["conv"]["kernel"])
     b = np.asarray(variables["params"]["l0_Conv"]["conv"]["kernel"])
     np.testing.assert_allclose(a, b)
 
