@@ -128,11 +128,11 @@ class MGAModel(nn.Module):
     lane_pack: bool = False   # folded-conv lane packing for small-C layers (TPU)
     lane_pack_lanes: int = 128  # packing target: lanes per packed tensor (128/256)
     # "all" packs every eligible region (backbone prefix + P3 neck chain);
-    # "prefix" restricts to the leading backbone chain. With the analytic
-    # DFL VJPs in place (losses/detection.py) "all" measured fastest at
-    # every batch tried incl. b128 (1024.6 vs 1008.3 img/s — BASELINE.md r3);
-    # "prefix" is kept as a manual escape hatch for HBM-pressure regimes.
-    lane_pack_regions: str = "all"
+    # "prefix" restricts to the leading backbone chain — the measured-fastest
+    # setting (interleaved A/B b128@640: prefix 109.1 / all 115.3 / off
+    # 121.9 ms per step, bench_ab_train.py, BASELINE.md r3) and what
+    # create_model's "auto" resolves to.
+    lane_pack_regions: str = "prefix"
     # gradient checkpointing of backbone/neck blocks (nn.remat): recompute
     # block activations in the backward instead of round-tripping them
     # through HBM — a lever for the bandwidth-bound train backward and for
@@ -350,11 +350,12 @@ def create_model(
     """Parse YAML + build the model in one call. ``use_pallas`` and
     ``lane_pack`` accept True/False/"auto" (see the resolvers above).
 
-    ``lane_pack_regions="auto"`` resolves to "all": with the analytic DFL
-    VJPs relieving loss-backward HBM pressure, packing every eligible region
-    measured fastest at every batch tried incl. b128@640 on v5e
-    (BASELINE.md r3). Pass "prefix" to restrict packing to the leading
-    backbone chain (manual escape hatch for HBM-tight regimes).
+    ``lane_pack_regions="auto"`` resolves to "prefix" (pack only the leading
+    small-C backbone chain): the interleaved same-process A/B at b128@640
+    bf16 on v5e measured prefix 109.1 ms / all 115.3 ms / unpacked 121.9 ms
+    per train step (tools/scripts/bench_ab_train.py, BASELINE.md r3) — the
+    P3-neck packed region costs more in fold-FLOP inflation than its lane
+    win. Pass "all" to also pack the neck chain.
     """
     from mga_yolo_tpu.graph import parse_graph
 
@@ -363,7 +364,7 @@ def create_model(
     pack, lanes = resolve_lane_pack(lane_pack, training=training)
     regions = lane_pack_regions
     if regions == "auto":
-        regions = "all"
+        regions = "prefix"
     return MGAModel(spec=spec, tap_indices=tuple(tap_indices), use_pallas=flag,
                     lane_pack=pack, lane_pack_lanes=lanes,
                     lane_pack_regions=regions,

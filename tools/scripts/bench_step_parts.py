@@ -32,8 +32,9 @@ def main() -> None:
 
     cfg = load_config({})
     model, spec = create_model("configs/models/yolov8_cbam.yaml", scale="n", nc=1,
-                               use_pallas=os.environ.get("MGA_BENCH_PALLAS", "1") == "1",
-                               lane_pack=os.environ.get("MGA_BENCH_LANEPACK", "0"))
+                               use_pallas=os.environ.get("MGA_BENCH_PALLAS", "auto"),
+                               lane_pack=os.environ.get("MGA_BENCH_LANEPACK", "0"),
+                               lane_pack_regions=os.environ.get("MGA_BENCH_REGIONS", "auto"))
     st = S.create_train_state(model, jax.random.PRNGKey(0), imgsz=256)
     mesh = S.data_mesh(jax.devices()[:1])
     dcfg, scfg = det_loss_config(cfg), seg_loss_config(cfg)

@@ -53,11 +53,14 @@ def main() -> None:
     cfg = load_config({})
     variant = os.environ.get("MGA_BENCH_VARIANT", "cbam")
     scale = os.environ.get("MGA_BENCH_SCALE", "n")
+    # defaults mirror the SHIPPED trainer path ("auto" resolution, models/
+    # yolo.py resolvers) so the headline number is the number users get;
+    # env overrides exist for A/B isolation
     model, spec = create_model(f"configs/models/yolov8_{variant}.yaml", scale=scale, nc=1,
-                               use_pallas=os.environ.get("MGA_BENCH_PALLAS", "1") == "1",
+                               use_pallas=os.environ.get("MGA_BENCH_PALLAS", "auto"),
                                lane_pack=os.environ.get("MGA_BENCH_LANEPACK", "auto"),
                                lane_pack_regions=os.environ.get("MGA_BENCH_REGIONS", "auto"),
-                               remat=os.environ.get("MGA_BENCH_REMAT", "0"))
+                               remat=os.environ.get("MGA_BENCH_REMAT", "auto"))
     st = S.create_train_state(model, jax.random.PRNGKey(0), imgsz=256)
     mesh = S.data_mesh(jax.devices()[:1])
     step_fn = S.jit_train_step(
