@@ -1,0 +1,232 @@
+"""Attribute train-step device time to model ops: trace + HLO-dump join.
+
+The jax.profiler trace (tools/scripts/profile_step.py) names device events
+after optimized-HLO instructions (fusion.3428, convert_reduce_fusion.52 ...)
+which is useless on its own. This script re-runs one train step with
+``--xla_dump_to`` so the optimized module text is available, parses each
+fusion's fused computation to recover the JAX-level ``op_name`` metadata of
+its constituent ops, then joins that against the trace's per-instruction
+durations to print a table of device time grouped by (a) model layer and
+(b) op kind (conv fwd / conv dgrad / conv wgrad / BN / loss / optimizer).
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/scripts/analyze_trace.py
+Env: MGA_BENCH_{IMGSZ,BATCH,PALLAS,LANEPACK} as in profile_step.py.
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import shutil
+
+TRACE_DIR = os.environ.get("MGA_TRACE_DIR", "/tmp/mga_trace2")
+DUMP_DIR = os.environ.get("MGA_HLO_DUMP", "/tmp/mga_hlo_dump")
+IMGSZ = int(os.environ.get("MGA_BENCH_IMGSZ", "640"))
+BATCH = int(os.environ.get("MGA_BENCH_BATCH", "128"))
+STEPS = 5
+
+
+def capture() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mga_yolo_tpu.config import det_loss_config, load_config, seg_loss_config
+    from mga_yolo_tpu.models.yolo import create_model
+    from mga_yolo_tpu.train import state as S
+    from tools.scripts.bench_train import make_batch
+
+    cfg = load_config({})
+    model, spec = create_model(
+        "configs/models/yolov8_cbam.yaml", scale="n", nc=1,
+        use_pallas=os.environ.get("MGA_BENCH_PALLAS", "0"),
+        lane_pack=os.environ.get("MGA_BENCH_LANEPACK", "0"),
+    )
+    st = S.create_train_state(model, jax.random.PRNGKey(0), imgsz=256)
+    mesh = S.data_mesh(jax.devices()[:1])
+    data = S.host_local_to_global(make_batch(BATCH, IMGSZ), mesh)
+    jax.block_until_ready(data["image"])
+    rngk = jax.random.PRNGKey(1)
+    step_fn = S.jit_train_step(
+        S.make_train_step(
+            model, (8, 16, 32), spec.nc, det_loss_config(cfg), seg_loss_config(cfg),
+            weight_decay=5e-4, ema_decay=0.9999, ema_tau=2000,
+            compute_dtype=jnp.bfloat16,
+        ),
+        mesh,
+    )
+    s = st
+    for _ in range(3):
+        s, m = step_fn(s, data, 0.01, 0.01, 0.9, rngk)
+    jax.block_until_ready(m["loss"])
+    with jax.profiler.trace(TRACE_DIR):
+        for _ in range(STEPS):
+            s, m = step_fn(s, data, 0.01, 0.01, 0.9, rngk)
+        jax.block_until_ready(m["loss"])
+
+
+# --- HLO parsing -----------------------------------------------------------
+
+_INSTR = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s+=\s+\S+\s+(\w[\w\-]*)\((.*)$")
+_CALLS = re.compile(r"calls=%?([\w.\-]+)")
+_METTA = re.compile(r'op_name="([^"]*)"')
+
+
+def parse_hlo(path: str):
+    """Return {instr_name: (opcode, dominant_op_name)} for the entry module.
+
+    For fusions, the dominant op_name is taken from the heaviest op inside
+    the fused computation (convolution > dot > reduce > first annotated).
+    """
+    comp_ops: dict[str, list[tuple[str, str]]] = {}  # comp -> [(opcode, op_name)]
+    fusion_calls: dict[str, str] = {}
+    instr_meta: dict[str, tuple[str, str]] = {}
+    cur = None
+    with open(path) as f:
+        for line in f:
+            if line.startswith(("HloModule",)):
+                continue
+            m = re.match(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s+\(.*\)\s+->\s+.*{", line)
+            if m and "=" not in line.split("{")[0]:
+                cur = m.group(1)
+                comp_ops.setdefault(cur, [])
+                continue
+            im = _INSTR.match(line)
+            if not im or cur is None:
+                continue
+            name, opcode, rest = im.groups()
+            meta = _METTA.search(line)
+            op_name = meta.group(1) if meta else ""
+            comp_ops[cur].append((opcode, op_name))
+            if opcode == "fusion":
+                cm = _CALLS.search(line)
+                if cm:
+                    fusion_calls[name] = cm.group(1)
+            instr_meta[name] = (opcode, op_name)
+
+    rank = {"convolution": 4, "dot": 3, "scatter": 2, "reduce": 1, "reduce-window": 1}
+
+    def dominant(comp: str) -> str:
+        best, score = "", -1
+        for opcode, op_name in comp_ops.get(comp, []):
+            sc = rank.get(opcode, 0)
+            if op_name and sc > score:
+                best, score = op_name, sc
+        return best
+
+    out: dict[str, tuple[str, str]] = {}
+    for name, (opcode, op_name) in instr_meta.items():
+        if opcode == "fusion" and name in fusion_calls:
+            dom = dominant(fusion_calls[name])
+            out[name] = (opcode, dom or op_name)
+        else:
+            out[name] = (opcode, op_name)
+    return out
+
+
+# --- classification --------------------------------------------------------
+
+LAYER = re.compile(r"/(l\d+_[a-zA-Z0-9]+)[/.]")
+
+
+def classify(op_name: str) -> tuple[str, str]:
+    """(layer, kind) from a JAX metadata op_name path."""
+    layer = "other"
+    m = LAYER.search(op_name)
+    if m:
+        layer = m.group(1)
+    elif "mga_loss" in op_name or "det_loss" in op_name or "assign" in op_name:
+        layer = "loss"
+    elif "seg_loss" in op_name:
+        layer = "loss.seg"
+    elif "sgd" in op_name or "ema" in op_name or "clip" in op_name or "opt" in op_name:
+        layer = "optimizer"
+
+    if "conv_general_dilated" in op_name or "convolution" in op_name:
+        if "transpose" in op_name and ("vjp" in op_name or "grad" in op_name):
+            kind = "conv.bwd"
+        else:
+            kind = "conv"
+    elif "dot_general" in op_name:
+        kind = "dot"
+    elif "batch_norm" in op_name or "/bn/" in op_name or "normalize" in op_name:
+        kind = "bn"
+    elif "approx_top_k" in op_name or "top_k" in op_name:
+        kind = "topk"
+    elif "reduce_window" in op_name or "max_pool" in op_name:
+        kind = "pool"
+    elif op_name == "":
+        kind = "unattributed"
+    else:
+        kind = "elementwise/other"
+    # transpose(jvp(...)) marks backward-of-forward in JAX metadata
+    if "transpose(" in op_name:
+        kind += "@bwd"
+    return layer, kind
+
+
+def main() -> None:
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
+    shutil.rmtree(DUMP_DIR, ignore_errors=True)
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = f"{flags} --xla_dump_to={DUMP_DIR} --xla_dump_hlo_as_text"
+    # dumping requires a fresh compile: disable the persistent cache for this run
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = ""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", None)
+    capture()
+
+    hlo_files = sorted(glob.glob(f"{DUMP_DIR}/*train_step*after_optimizations.txt"))
+    if not hlo_files:
+        hlo_files = sorted(glob.glob(f"{DUMP_DIR}/*after_optimizations.txt"))
+    print(json.dumps({"hlo_files": hlo_files[-3:]}))
+    imap: dict[str, tuple[str, str]] = {}
+    for hf in hlo_files:
+        imap.update(parse_hlo(hf))
+
+    tjs = glob.glob(f"{TRACE_DIR}/**/*.trace.json.gz", recursive=True)
+    agg: dict[str, float] = collections.defaultdict(float)
+    for tj in tjs:
+        with gzip.open(tj, "rt") as f:
+            tr = json.load(f)
+        for e in tr.get("traceEvents", []):
+            if e.get("ph") != "X" or not e.get("dur"):
+                continue
+            name = e.get("name", "")
+            # device-lane events carry HLO instruction names; skip host frames
+            if name in imap:
+                agg[name] += e["dur"]
+
+    by_layer: dict[str, float] = collections.defaultdict(float)
+    by_kind: dict[str, float] = collections.defaultdict(float)
+    rows = []
+    total = 0.0
+    for name, dur_us in agg.items():
+        opcode, op_name = imap[name]
+        layer, kind = classify(op_name)
+        ms = dur_us / 1e3 / STEPS
+        total += ms
+        by_layer[layer] += ms
+        by_kind[kind] += ms
+        rows.append((ms, name, opcode, layer, kind, op_name[:160]))
+
+    rows.sort(reverse=True)
+    print(f"\n== per-step device time attributed: {total:.1f} ms over {len(rows)} instrs ==")
+    print("\n-- top 45 instructions --")
+    for ms, name, opcode, layer, kind, op_name in rows[:45]:
+        print(f"{ms:8.3f} ms  {name:<28} {layer:<16} {kind:<22} {op_name}")
+    print("\n-- by kind --")
+    for k, v in sorted(by_kind.items(), key=lambda kv: -kv[1]):
+        print(f"{v:8.2f} ms  {k}")
+    print("\n-- by layer (top 25) --")
+    for k, v in sorted(by_layer.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{v:8.2f} ms  {k}")
+
+
+if __name__ == "__main__":
+    main()
