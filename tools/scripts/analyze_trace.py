@@ -43,8 +43,10 @@ def capture() -> None:
     cfg = load_config({})
     model, spec = create_model(
         "configs/models/yolov8_cbam.yaml", scale="n", nc=1,
-        use_pallas=os.environ.get("MGA_BENCH_PALLAS", "0"),
-        lane_pack=os.environ.get("MGA_BENCH_LANEPACK", "0"),
+        use_pallas=os.environ.get("MGA_BENCH_PALLAS", "auto"),
+        lane_pack=os.environ.get("MGA_BENCH_LANEPACK", "auto"),
+        lane_pack_regions=os.environ.get("MGA_BENCH_REGIONS", "auto"),
+        remat=os.environ.get("MGA_BENCH_REMAT", "auto"),
     )
     st = S.create_train_state(model, jax.random.PRNGKey(0), imgsz=256)
     mesh = S.data_mesh(jax.devices()[:1])
@@ -71,7 +73,11 @@ def capture() -> None:
 
 # --- HLO parsing -----------------------------------------------------------
 
-_INSTR = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s+=\s+\S+\s+(\w[\w\-]*)\((.*)$")
+# Output shape may be a tuple with spaces: "(bf16[...]{...}, f32[...])" — match
+# either a parenthesised tuple or a single non-space token.
+_INSTR = re.compile(
+    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s+=\s+(?:\([^)]*\)|\S+)\s+(\w[\w\-]*)\((.*)$"
+)
 _CALLS = re.compile(r"calls=%?([\w.\-]+)")
 _METTA = re.compile(r'op_name="([^"]*)"')
 
@@ -147,10 +153,9 @@ def classify(op_name: str) -> tuple[str, str]:
         layer = "optimizer"
 
     if "conv_general_dilated" in op_name or "convolution" in op_name:
-        if "transpose" in op_name and ("vjp" in op_name or "grad" in op_name):
-            kind = "conv.bwd"
-        else:
-            kind = "conv"
+        # backward convs are labeled by the trailing "@bwd" suffix below
+        # (JAX marks them as transpose(jvp(...)) in op_name metadata)
+        kind = "conv"
     elif "dot_general" in op_name:
         kind = "dot"
     elif "batch_norm" in op_name or "/bn/" in op_name or "normalize" in op_name:
@@ -186,14 +191,33 @@ def main() -> None:
         hlo_files = sorted(glob.glob(f"{DUMP_DIR}/*after_optimizations.txt"))
     print(json.dumps({"hlo_files": hlo_files[-3:]}))
     imap: dict[str, tuple[str, str]] = {}
+    overwrites = 0
     for hf in hlo_files:
-        imap.update(parse_hlo(hf))
+        for name, val in parse_hlo(hf).items():
+            prev = imap.get(name)
+            if prev is not None and prev[1] != val[1]:
+                overwrites += 1
+            imap[name] = val
+    if overwrites:
+        print(
+            f"WARNING: {overwrites} instruction names recur across modules with "
+            "different op_names; cross-module attribution may be imprecise"
+        )
 
     tjs = glob.glob(f"{TRACE_DIR}/**/*.trace.json.gz", recursive=True)
     agg: dict[str, float] = collections.defaultdict(float)
+    unmatched_us = 0.0
     for tj in tjs:
         with gzip.open(tj, "rt") as f:
             tr = json.load(f)
+        # restrict to device (TensorCore) lanes so host frames don't inflate
+        # the unmatched bucket
+        dev_pids = set()
+        for e in tr.get("traceEvents", []):
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                pname = e.get("args", {}).get("name", "")
+                if "TPU" in pname or "Device" in pname or "/device:" in pname:
+                    dev_pids.add(e.get("pid"))
         for e in tr.get("traceEvents", []):
             if e.get("ph") != "X" or not e.get("dur"):
                 continue
@@ -201,6 +225,8 @@ def main() -> None:
             # device-lane events carry HLO instruction names; skip host frames
             if name in imap:
                 agg[name] += e["dur"]
+            elif e.get("pid") in dev_pids:
+                unmatched_us += e["dur"]
 
     by_layer: dict[str, float] = collections.defaultdict(float)
     by_kind: dict[str, float] = collections.defaultdict(float)
@@ -217,6 +243,7 @@ def main() -> None:
 
     rows.sort(reverse=True)
     print(f"\n== per-step device time attributed: {total:.1f} ms over {len(rows)} instrs ==")
+    print(f"== device-lane time NOT matched to HLO map: {unmatched_us / 1e3 / STEPS:.2f} ms/step ==")
     print("\n-- top 45 instructions --")
     for ms, name, opcode, layer, kind, op_name in rows[:45]:
         print(f"{ms:8.3f} ms  {name:<28} {layer:<16} {kind:<22} {op_name}")
