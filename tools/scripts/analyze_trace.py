@@ -61,6 +61,14 @@ def capture() -> None:
         ),
         mesh,
     )
+    # Fetch the optimized HLO through the PJRT client: under the axon tunnel
+    # compilation happens server-side, so --xla_dump_to never writes locally;
+    # compiled.as_text() returns the post-optimization module text instead.
+    compiled = step_fn.lower(st, data, 0.01, 0.01, 0.9, rngk).compile()
+    os.makedirs(DUMP_DIR, exist_ok=True)
+    with open(f"{DUMP_DIR}/train_step_after_optimizations.txt", "w") as f:
+        f.write(compiled.as_text())
+
     s = st
     for _ in range(3):
         s, m = step_fn(s, data, 0.01, 0.01, 0.9, rngk)
@@ -73,11 +81,26 @@ def capture() -> None:
 
 # --- HLO parsing -----------------------------------------------------------
 
-# Output shape may be a tuple with spaces: "(bf16[...]{...}, f32[...])" — match
-# either a parenthesised tuple or a single non-space token.
-_INSTR = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s+=\s+(?:\([^)]*\)|\S+)\s+(\w[\w\-]*)\((.*)$"
-)
+# "name = shape opcode(operands...". The shape may be a tuple whose layout
+# annotations contain nested parens ("(bf16[128]{0:T(256)(128)(2,1)S(1)}, ...)"),
+# so we can't regex the shape. Instead: capture the name, then find the opcode
+# as the first whitespace-preceded lowercase token followed by "(" — shapes and
+# layouts contain no "<space><lowercase-word>(" sequences (T(/S( are uppercase,
+# tuple elements are comma+space separated type tokens).
+_NAME = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s+=\s+(.*)$")
+_OPC = re.compile(r"(?:^|\s)([a-z][\w\-]*)\(")
+
+
+def _parse_instr(line: str):
+    """Return (name, opcode, rest_after_opcode) or None."""
+    m = _NAME.match(line)
+    if not m:
+        return None
+    name, rest = m.groups()
+    om = _OPC.search(rest)
+    if not om:
+        return None
+    return name, om.group(1), rest[om.end():]
 _CALLS = re.compile(r"calls=%?([\w.\-]+)")
 _METTA = re.compile(r'op_name="([^"]*)"')
 
@@ -101,10 +124,10 @@ def parse_hlo(path: str):
                 cur = m.group(1)
                 comp_ops.setdefault(cur, [])
                 continue
-            im = _INSTR.match(line)
-            if not im or cur is None:
+            im = _parse_instr(line)
+            if im is None or cur is None:
                 continue
-            name, opcode, rest = im.groups()
+            name, opcode, rest = im
             meta = _METTA.search(line)
             op_name = meta.group(1) if meta else ""
             comp_ops[cur].append((opcode, op_name))
@@ -175,16 +198,10 @@ def classify(op_name: str) -> tuple[str, str]:
 
 
 def main() -> None:
-    shutil.rmtree(TRACE_DIR, ignore_errors=True)
-    shutil.rmtree(DUMP_DIR, ignore_errors=True)
-    flags = os.environ.get("XLA_FLAGS", "")
-    os.environ["XLA_FLAGS"] = f"{flags} --xla_dump_to={DUMP_DIR} --xla_dump_hlo_as_text"
-    # dumping requires a fresh compile: disable the persistent cache for this run
-    os.environ["JAX_COMPILATION_CACHE_DIR"] = ""
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", None)
-    capture()
+    if not os.environ.get("MGA_SKIP_CAPTURE"):
+        shutil.rmtree(TRACE_DIR, ignore_errors=True)
+        shutil.rmtree(DUMP_DIR, ignore_errors=True)
+        capture()
 
     hlo_files = sorted(glob.glob(f"{DUMP_DIR}/*train_step*after_optimizations.txt"))
     if not hlo_files:
