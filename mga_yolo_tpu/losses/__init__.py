@@ -66,9 +66,11 @@ def mga_loss(
     det_maps = outputs["det"]
     if isinstance(det_maps, tuple):  # eval-mode output (decoded, raw)
         det_maps = det_maps[1]
-    # AMP boundary: losses always in float32 (reference computes seg loss and
-    # assigner math in fp32 under autocast too)
-    det_maps = [m.astype(jnp.float32) for m in det_maps]
+    # AMP boundary: loss MATH always in float32 (reference computes seg loss
+    # and assigner math in fp32 under autocast too). Det maps pass through in
+    # their native storage dtype — v8_detection_loss casts per-consumer so
+    # the big (B,A,4*reg_max) DFL tensor streams bf16 (round 4; value- and
+    # gradient-rounding-identical, tests/test_loss_parity.py bf16 case).
     outputs = {**outputs, "seg": {k: v.astype(jnp.float32) for k, v in outputs["seg"].items()}}
     l_det, det_comps = v8_detection_loss(
         det_maps, strides, batch["gt_labels"], batch["gt_bboxes"], batch["mask_gt"], nc, det_cfg

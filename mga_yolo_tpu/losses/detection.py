@@ -69,6 +69,18 @@ def _fast_pow(x: jax.Array, p: float) -> jax.Array:
     return x**p
 
 
+def _kth_largest(x: jax.Array, k: int) -> jax.Array:
+    """EXACT k-th largest value (with multiplicity) along the last axis,
+    keepdims. approx_max_k(recall=1.0) is exact and, per the round-4 on-chip
+    trace, lowers to one full sort of the metric (3.7 ms at (128,8,8400)
+    b128). Two measured dead ends recorded in BASELINE.md round 4: a blocked
+    sort-of-128-wide-chunks (5x WORSE — minor-dim sorts of short rows
+    vectorize terribly on TPU) and an iterative masked-max (breaks tie
+    multiplicity, tests/test_loss_parity.py tie cases). A single-pass Pallas
+    selection kernel is the remaining upside here."""
+    return jax.lax.approx_max_k(x, k, recall_target=1.0)[0][..., -1:]
+
+
 def task_aligned_assigner(
     pd_scores: jax.Array,   # (B, A, nc) — sigmoided class scores
     pd_bboxes: jax.Array,   # (B, A, 4) xyxy, image units
@@ -115,12 +127,11 @@ def task_aligned_assigner(
     #     (lowest index wins) in the reference — a measure-zero event for
     #     continuous fp32 metrics; covered by the degenerate-case invariant
     #     test (tests/test_loss_parity.py).
-    # approx_max_k(recall=1.0) is EXACT and lowers to the TPU PartialReduce
-    # op — measured 2.0x faster than the sort-based lax.top_k at
-    # (128,28,8400) with identical kth values (tools/scripts/bench_topk.py);
-    # on CPU it falls back to the exact sort path.
-    topk_vals = jax.lax.approx_max_k(align_metric, topk, recall_target=1.0)[0]  # (B,M,k)
-    kth = topk_vals[..., -1:]  # (B,M,1)
+    # kth value via the exact block-top-k (_kth_largest): identical value
+    # (multiplicity preserved) to the former approx_max_k(recall=1.0), which
+    # the round-4 on-chip HLO showed lowering to a FULL SORT of the (B,M,A)
+    # f32 metric (3.7 ms/step at b128 — BASELINE.md per-op table).
+    kth = _kth_largest(align_metric, topk)  # (B,M,1)
     mask_pos = ((align_metric >= kth) & (align_metric > 0)).astype(align_metric.dtype)
 
     # ---- resolve anchors claimed by multiple gts: keep highest overlap ----
@@ -208,6 +219,10 @@ def dfl_loss(pred_dist: jax.Array, target: jax.Array, reg_max: int) -> jax.Array
 
 
 def _dfl_decode_primal(pd: jax.Array) -> jax.Array:
+    # f32 internal math regardless of storage dtype: pd may arrive as the
+    # model's native bf16 (already bf16-quantized — casting earlier adds no
+    # information, it only doubles the HBM stream of the (B,A,4,R) tensor)
+    pd = pd.astype(jnp.float32)
     proj = jnp.arange(pd.shape[-1], dtype=pd.dtype)
     return (jax.nn.softmax(pd, axis=-1) * proj).sum(-1)
 
@@ -228,9 +243,10 @@ def _dfl_decode_fwd(pd):
 
 def _dfl_decode_bwd(res, g_ltrb):
     pd, ltrb = res
-    proj = jnp.arange(pd.shape[-1], dtype=pd.dtype)
-    p = jax.nn.softmax(pd, axis=-1)  # recompute — no stored (B,A,4,R) activation
-    return (p * (proj - ltrb[..., None]) * g_ltrb[..., None],)
+    p = jax.nn.softmax(pd.astype(jnp.float32), axis=-1)  # recompute, f32
+    proj = jnp.arange(pd.shape[-1], dtype=jnp.float32)
+    dz = p * (proj - ltrb[..., None]) * g_ltrb[..., None]
+    return (dz.astype(pd.dtype),)
 
 
 dfl_decode.defvjp(_dfl_decode_fwd, _dfl_decode_bwd)
@@ -247,6 +263,8 @@ def _dfl_interp(target: jax.Array, reg_max: int):
 
 def _dfl_ce_primal(pd: jax.Array, target: jax.Array) -> jax.Array:
     reg_max = pd.shape[-1]
+    pd = pd.astype(jnp.float32)  # f32 math from native-dtype storage
+    target = target.astype(jnp.float32)
     tl, tr, wl, wr = _dfl_interp(target, reg_max)
     lse = jax.nn.logsumexp(pd, axis=-1)  # (B,A,4)
     idx = jnp.arange(reg_max, dtype=jnp.int32)
@@ -276,18 +294,62 @@ def _dfl_ce_fwd(pd, target):
 def _dfl_ce_bwd(res, g_dfl):
     pd, target = res
     reg_max = pd.shape[-1]
-    tl, tr, wl, wr = _dfl_interp(target, reg_max)
-    p = jax.nn.softmax(pd, axis=-1)  # recompute
+    tl, tr, wl, wr = _dfl_interp(target.astype(jnp.float32), reg_max)
+    p = jax.nn.softmax(pd.astype(jnp.float32), axis=-1)  # recompute
     idx = jnp.arange(reg_max, dtype=jnp.int32)
     q = (
         jnp.where(idx == tl[..., None], wl[..., None], 0)
         + jnp.where(idx == tr[..., None], wr[..., None], 0)
     )  # interpolated one-hot target
     g_side = (g_dfl / 4.0)[..., None, None]  # d dfl_pa / d ce per side
-    return (p - q) * g_side, None  # target is GT: no gradient
+    return ((p - q) * g_side).astype(pd.dtype), None  # target is GT: no gradient
 
 
 dfl_ce.defvjp(_dfl_ce_fwd, _dfl_ce_bwd)
+
+
+@jax.custom_vjp
+def dfl_decode_ce(pd: jax.Array, target: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Fused decode + CE: ``(ltrb, ce) = (dfl_decode(pd), dfl_ce(pd, target))``.
+
+    One custom VJP instead of two: the separate decode/CE VJPs each stream
+    the full (B,A,4,R) pd tensor and emit a (B,A,4,R) cotangent, which XLA
+    then re-reads to sum (the 3.5 ms f32[128,8400,64] ``add_any`` in the
+    round-4 per-op table, BASELINE.md). The combined backward reads pd once,
+    recomputes p = softmax(pd), and writes the summed cotangent directly:
+
+        dz = p * ((proj - ltrb) * g_ltrb + g_ce/4) - q * g_ce/4
+
+    Requires ``target`` at call time — callers that feed the assigner from
+    the decode output should use a ``stop_gradient`` re-evaluation of the
+    primal for that (value-identical; XLA CSEs it with this forward).
+    """
+    return _dfl_decode_primal(pd), _dfl_ce_primal(pd, target)
+
+
+def _dfl_decode_ce_fwd(pd, target):
+    ltrb = _dfl_decode_primal(pd)
+    return (ltrb, _dfl_ce_primal(pd, target)), (pd, ltrb, target)
+
+
+def _dfl_decode_ce_bwd(res, gs):
+    pd, ltrb, target = res
+    g_ltrb, g_ce = gs
+    reg_max = pd.shape[-1]
+    proj = jnp.arange(reg_max, dtype=jnp.float32)
+    tl, tr, wl, wr = _dfl_interp(target.astype(jnp.float32), reg_max)
+    p = jax.nn.softmax(pd.astype(jnp.float32), axis=-1)  # recompute, f32
+    idx = jnp.arange(reg_max, dtype=jnp.int32)
+    q = (
+        jnp.where(idx == tl[..., None], wl[..., None], 0)
+        + jnp.where(idx == tr[..., None], wr[..., None], 0)
+    )
+    g_side = (g_ce / 4.0)[..., None, None]
+    dz = p * ((proj - ltrb[..., None]) * g_ltrb[..., None] + g_side) - q * g_side
+    return dz.astype(pd.dtype), None
+
+
+dfl_decode_ce.defvjp(_dfl_decode_ce_fwd, _dfl_decode_ce_bwd)
 
 
 def v8_detection_loss(
@@ -308,20 +370,29 @@ def v8_detection_loss(
     B = det_maps[0].shape[0]
     pred_distri, pred_scores = flatten_det_maps(det_maps, reg_max, nc)
     A = pred_scores.shape[1]
-    dtype = pred_scores.dtype
+    # mixed-precision boundary: scalar-ish score/box math runs f32; the BIG
+    # (B,A,4*reg_max) distribution tensor stays in its native (bf16 under
+    # train) storage — the DFL custom VJPs cast to f32 internally, so the
+    # values and the rounding point of the gradient are identical to casting
+    # here, at half the HBM traffic (round-4 per-op table, BASELINE.md).
+    pred_scores = pred_scores.astype(jnp.float32)
 
     shapes = [(m.shape[1], m.shape[2]) for m in det_maps]
-    anchor_points, stride_tensor = make_anchors(shapes, strides, 0.5, dtype=dtype)
+    anchor_points, stride_tensor = make_anchors(shapes, strides, 0.5, dtype=jnp.float32)
 
-    # decode to xyxy in feature units (analytic-VJP expectation decode)
+    # decode to xyxy in feature units — the assigner only needs VALUES, so it
+    # runs off a stop-gradient re-evaluation of the decode primal; the
+    # gradient-carrying decode happens inside the fused dfl_decode_ce below
+    # (one backward pass over pd instead of two + an add_any merge). XLA
+    # CSEs the two identical primal computations.
     pd = pred_distri.reshape(B, A, 4, reg_max)
-    ltrb = dfl_decode(pd)
-    pred_bboxes = dist2bbox(ltrb, anchor_points[None], xywh=False)  # (B,A,4)
+    ltrb_sg = jax.lax.stop_gradient(_dfl_decode_primal(pd))
+    pred_bboxes_sg = dist2bbox(ltrb_sg, anchor_points[None], xywh=False)  # (B,A,4)
 
     target_bboxes, target_scores, fg_mask = jax.lax.stop_gradient(
         task_aligned_assigner(
             jax.nn.sigmoid(jax.lax.stop_gradient(pred_scores)),
-            jax.lax.stop_gradient(pred_bboxes) * stride_tensor,
+            pred_bboxes_sg * stride_tensor,
             anchor_points * stride_tensor,
             gt_labels,
             gt_bboxes,
@@ -339,15 +410,15 @@ def v8_detection_loss(
     bce = optax_sigmoid_bce(pred_scores, target_scores)
     loss_cls = bce.sum() / target_scores_sum
 
-    # ---- box: CIoU on fg anchors, weighted by target score mass ----
+    # ---- box + dfl through the single fused decode/CE VJP ----
     tb_feat = target_bboxes / stride_tensor
     weight = target_scores.sum(-1) * fg_mask  # (B,A)
+    target_ltrb = bbox2dist(anchor_points[None], tb_feat, reg_max - 1)  # (B,A,4)
+    ltrb, per_anchor_dfl = dfl_decode_ce(pd, jax.lax.stop_gradient(target_ltrb))
+    pred_bboxes = dist2bbox(ltrb, anchor_points[None], xywh=False)  # (B,A,4)
+
     iou = bbox_iou_ciou(pred_bboxes, tb_feat)  # (B,A)
     loss_iou = (((1.0 - iou) * weight)).sum() / target_scores_sum
-
-    # ---- dfl (analytic-VJP CE; value-identical to dfl_loss) ----
-    target_ltrb = bbox2dist(anchor_points[None], tb_feat, reg_max - 1)  # (B,A,4)
-    per_anchor_dfl = dfl_ce(pd, jax.lax.stop_gradient(target_ltrb))  # (B,A)
     loss_dfl = (per_anchor_dfl * weight).sum() / target_scores_sum
 
     loss_box = loss_iou * cfg.box

@@ -36,6 +36,7 @@ problem; cuDNN handles NCHW C=16 natively).
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -136,11 +137,19 @@ class PackedBN(nn.Module):
         ra_var = self.variable("batch_stats", "var", nn.initializers.ones, None, (c,))
 
         if train:
+            # reduce the packed tensor over (B,H,W') FIRST, then fold the
+            # tiny (f*C,) vector to (f,C) and sum slots: the former 5-D
+            # (b,h,wp,f,c) reshape of the FULL tensor forced a c-minor-lane
+            # relayout (the ~1 ms reshape copies in the round-4 per-op
+            # table); reducing in the native packed layout is copy-free and
+            # only reassociates the f32 sum.
             x32 = xp.astype(jnp.float32)
-            b, h, wp, fc = x32.shape
-            slots = x32.reshape(b, h, wp, f, c)
-            mean = jnp.mean(slots, axis=(0, 1, 2, 3))            # (C,)
-            mean2 = jnp.mean(jnp.square(slots), axis=(0, 1, 2, 3))
+            b, h, wp, fc = xp.shape
+            n = b * h * wp * f
+            s1 = jnp.sum(x32, axis=(0, 1, 2)).reshape(f, c).sum(0)          # (C,)
+            s2 = jnp.sum(jnp.square(x32), axis=(0, 1, 2)).reshape(f, c).sum(0)
+            mean = s1 / n
+            mean2 = s2 / n
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
@@ -174,6 +183,63 @@ class PackedConvBN(nn.Module):
         return nn.silu(y) if self.act else y
 
 
+class _FoldedConv1x1Sum(nn.Module):
+    """Folded 1x1 conv over a VIRTUAL concatenation of packed parts.
+
+    ``conv(concat_lanes(parts))`` = sum of per-part convs with the logical
+    kernel ROW-sliced before expansion — the packed concat (a 5-D reshape
+    shuffle) and its backward never materialize. Parameter-identical to
+    ``FoldedConv(c_in, c2, 1, 1, f, name=...)`` on the concatenated input
+    (same logical ``kernel`` (1,1,c_in,c2)). f32 partial sums, one cast —
+    only f32 summation order differs (~1 ulp). Mirrors layers._Conv1x1Sum.
+    """
+
+    c_in: int
+    c2: int
+    f: int
+
+    @nn.compact
+    def __call__(self, parts: list[jax.Array]) -> jax.Array:
+        w = self.param("kernel", torch_default, (1, 1, self.c_in, self.c2))
+        off, acc = 0, None
+        for p in parts:
+            sz = p.shape[-1] // self.f
+            # k=1/s=1 folded kernel is exactly block-diagonal (one 1x1 tap,
+            # pl=pr=0), so the conv IS a matmul — einsum instead of
+            # conv_general_dilated because conv's transpose rule feeds the
+            # f32 (preferred_element_type) cotangent into a bf16 conv and
+            # TypeErrors under grad; einsum's transpose re-einsums with the
+            # same preferred dtype (proven by layers._Conv1x1Sum under the
+            # bf16 train path). Zero blocks contribute exact f32 zeros.
+            K, _ = expand_folded_kernel(
+                w[:, :, off : off + sz, :].astype(p.dtype), self.f, 1
+            )
+            y = jnp.einsum(
+                "bhwu,uv->bhwv", p, K[0, 0], preferred_element_type=jnp.float32
+            )
+            acc = y if acc is None else acc + y
+            off += sz
+        assert off == self.c_in, f"parts sum to {off}, kernel expects {self.c_in}"
+        return acc.astype(parts[0].dtype)
+
+
+class PackedConvBNSum(nn.Module):
+    """Packed ``ConvBN(c2, 1, 1)`` over a virtual concatenation of packed
+    parts (children named ``conv``/``bn`` — parameter tree identical to
+    PackedConvBN / ConvBN)."""
+
+    c_in: int
+    c2: int
+    f: int
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, parts: list[jax.Array], train: bool = False) -> jax.Array:
+        y = _FoldedConv1x1Sum(self.c_in, self.c2, self.f, name="conv")(parts)
+        y = PackedBN(self.c2, self.f, name="bn")(y, train)
+        return nn.silu(y) if self.act else y
+
+
 class PackedBottleneck(nn.Module):
     """Packed Bottleneck (param-compatible with layers.Bottleneck)."""
 
@@ -192,24 +258,48 @@ class PackedBottleneck(nn.Module):
         return xp + y if self.shortcut and self.c_in == self.c2 else y
 
 
+def _lane_select_matrix(f: int, c: int, off: int, sz: int, dtype) -> jax.Array:
+    """(f*c, f*sz) 0/1 matrix selecting logical channels [off, off+sz) from a
+    slot-major packed tensor. Each output column has exactly ONE 1, so the
+    matmul is an exact copy (one f32 product of x*1, no summation error)."""
+    import numpy as np
+
+    m = np.zeros((f * c, f * sz), np.float32)
+    for s in range(f):
+        for j in range(sz):
+            m[s * c + off + j, s * sz + j] = 1.0
+    return jnp.asarray(m, dtype)
+
+
 def _split_lanes(xp: jax.Array, f: int, sizes: list[int]) -> list[jax.Array]:
-    """Split a packed tensor along logical channels (within each slot block)."""
+    """Split a packed tensor along logical channels (within each slot block).
+
+    Two bit-exact implementations, selected by MGA_PACKED_SPLIT_IMPL (a
+    measurement knob for the interleaved A/B, read at trace time so one
+    process can compile both; default ``matmul``):
+    ``matmul`` — per-part selection matmuls (single-1 columns, exact copy;
+    backward is the transposed matmul); ``reshape`` — the former 5-D
+    reshape+slice (forces a c-minor lane-relayout copy, ~1 ms entries in the
+    round-4 per-op table; backward is pad-and-add).
+    """
     b, h, wp, fc = xp.shape
     c = fc // f
-    slots = xp.reshape(b, h, wp, f, c)
+    if os.environ.get("MGA_PACKED_SPLIT_IMPL", "matmul") == "reshape":
+        slots = xp.reshape(b, h, wp, f, c)
+        outs, off = [], 0
+        for sz in sizes:
+            outs.append(slots[..., off:off + sz].reshape(b, h, wp, f * sz))
+            off += sz
+        return outs
     outs, off = [], 0
     for sz in sizes:
-        outs.append(slots[..., off:off + sz].reshape(b, h, wp, f * sz))
+        sel = _lane_select_matrix(f, c, off, sz, xp.dtype)
+        outs.append(
+            jnp.einsum("bhwu,uv->bhwv", xp, sel, preferred_element_type=jnp.float32)
+            .astype(xp.dtype)
+        )
         off += sz
     return outs
-
-
-def _concat_lanes(parts: list[jax.Array], f: int) -> jax.Array:
-    """Concat packed tensors along logical channels (within each slot block)."""
-    b, h, wp, _ = parts[0].shape
-    slot_parts = [p.reshape(b, h, wp, f, p.shape[-1] // f) for p in parts]
-    out = jnp.concatenate(slot_parts, axis=-1)
-    return out.reshape(b, h, wp, f * out.shape[-1])
 
 
 class PackedC3(nn.Module):
@@ -230,8 +320,7 @@ class PackedC3(nn.Module):
             a = PackedBottleneck(c_, c_, self.shortcut, e=1.0, f=self.f,
                                  k=(self.k, self.k), name=f"m{i}")(a, train)
         b = PackedConvBN(self.c_in, c_, 1, 1, self.f, name="cv2")(xp, train)
-        cat = _concat_lanes([a, b], self.f)
-        return PackedConvBN(2 * c_, self.c2, 1, 1, self.f, name="cv3")(cat, train)
+        return PackedConvBNSum(2 * c_, self.c2, self.f, name="cv3")([a, b], train)
 
 
 class PackedC3k2(nn.Module):
@@ -255,8 +344,7 @@ class PackedC3k2(nn.Module):
             else:
                 blk = PackedBottleneck(c, c, self.shortcut, e=0.5, f=self.f, name=f"m{i}")
             ys.append(blk(ys[-1], train))
-        cat = _concat_lanes(ys, self.f)
-        return PackedConvBN((2 + self.n) * c, self.c2, 1, 1, self.f, name="cv2")(cat, train)
+        return PackedConvBNSum((2 + self.n) * c, self.c2, self.f, name="cv2")(ys, train)
 
 
 class PackedC2f(nn.Module):
@@ -279,8 +367,7 @@ class PackedC2f(nn.Module):
                     ys[-1], train
                 )
             )
-        cat = _concat_lanes(ys, self.f)
-        return PackedConvBN((2 + self.n) * c, self.c2, 1, 1, self.f, name="cv2")(cat, train)
+        return PackedConvBNSum((2 + self.n) * c, self.c2, self.f, name="cv2")(ys, train)
 
 
 def _pow2_f(c_out: int, max_f: int, target_lanes: int) -> int:

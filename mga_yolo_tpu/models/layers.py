@@ -15,6 +15,7 @@ Functional re-implementations of the reference blocks
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Sequence
 
 import jax
@@ -93,6 +94,81 @@ class ConvBN(nn.Module):
         return nn.silu(x) if self.act else x
 
 
+class _Conv1x1Sum(nn.Module):
+    """1x1 conv over a VIRTUAL concatenation: ``conv(concat(parts))`` computed
+    as the sum of per-part row-sliced matmuls — the concat (and its backward
+    split/pad) never materializes. Parameter-identical to
+    ``nn.Conv(c2, (1,1), name=...)`` on the concatenated input. Numerics: each
+    part accumulates on the MXU in f32 and the partial sums add in f32 before
+    one cast to the activation dtype — the only deviation from the single
+    conv is f32 summation order (~1 ulp), inside every parity tolerance.
+
+    Motivation (round-4 per-op table, BASELINE.md): the C2f/SPPF concats and
+    their backward slices/pads are among the largest elementwise entries in
+    the train step (~1.1 ms fwd + ~1.6 ms bwd at b128/640 for l2_C2f alone).
+    """
+
+    c2: int
+    c_in: int
+
+    @nn.compact
+    def __call__(self, parts: Sequence[jax.Array]) -> jax.Array:
+        w = self.param("kernel", torch_default, (1, 1, self.c_in, self.c2))
+        # hybrid rule: per-part matmuls have contraction depth K = part
+        # channels; below MGA_VCONCAT_MIN_K (trace-time knob, A/B'd on chip
+        # — BASELINE.md round 4) the tiny-K matmuls starve the MXU worse
+        # than one materialized concat + a single K=c_in conv costs, so
+        # narrow parts take the concat path. Value-identical either way
+        # (same kernel, f32 accumulation; only summation order differs).
+        min_k = int(os.environ.get("MGA_VCONCAT_MIN_K", "0"))
+        if len(parts) > 1 and min(p.shape[-1] for p in parts) < min_k:
+            x = jnp.concatenate(list(parts), axis=-1)
+            y = jnp.einsum(
+                "bhwc,co->bhwo", x, w[0, 0].astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return y.astype(x.dtype)
+        off, acc = 0, None
+        for p in parts:
+            ci = p.shape[-1]
+            y = jnp.einsum(
+                "bhwc,co->bhwo",
+                p,
+                w[0, 0, off : off + ci, :].astype(p.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            acc = y if acc is None else acc + y
+            off += ci
+        assert off == self.c_in, f"parts sum to {off}, kernel expects {self.c_in}"
+        return acc.astype(parts[0].dtype)
+
+
+class ConvBNSum(nn.Module):
+    """``ConvBN(c2, 1, 1)`` applied to a virtual concatenation of parts.
+
+    Same parameter tree as ConvBN (children ``conv``/``bn``), so checkpoints
+    and parity tests interchange freely.
+    """
+
+    c2: int
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, parts: Sequence[jax.Array], train: bool = False) -> jax.Array:
+        c_in = sum(p.shape[-1] for p in parts)
+        # The virtual sum pays off in the BACKWARD (no concat cotangent
+        # slice/pads); forward-only it splits one good matmul into tiny-K
+        # ones — measured −28% inference (bench.py 5306→3832 img/s, round 4)
+        # — so eval materializes the concat (value-identical, same params).
+        if not train and len(parts) > 1:
+            parts = [jnp.concatenate(list(parts), axis=-1)]
+        x = _Conv1x1Sum(self.c2, c_in, name="conv")(parts)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3, name="bn"
+        )(x)
+        return nn.silu(x) if self.act else x
+
+
 class DWConv(nn.Module):
     """Depthwise Conv+BN+SiLU (reference conv.py:195)."""
 
@@ -134,15 +210,21 @@ class C2f(nn.Module):
     e: float = 0.5
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x, train: bool = False) -> jax.Array:
+        # `x` may be a LIST of parts (a lazily-deferred upstream Concat —
+        # models/yolo.py walker): cv1 is 1x1, so it consumes the parts
+        # directly and the neck concat never materializes.
         c = int(self.c2 * self.e)
-        y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
+        if isinstance(x, (list, tuple)):
+            y = ConvBNSum(2 * c, name="cv1")(list(x), train)
+        else:
+            y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
         ys = [y[..., :c], y[..., c:]]
         for i in range(self.n):
             ys.append(
                 Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, name=f"m{i}")(ys[-1], train)
             )
-        return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+        return ConvBNSum(self.c2, name="cv2")(ys, train)
 
 
 class C3(nn.Module):
@@ -164,7 +246,7 @@ class C3(nn.Module):
             kk = (self.k, self.k) if self.c3k_kernels else (1, 3)
             a = Bottleneck(c_, self.shortcut, self.g, k=kk, e=1.0, name=f"m{i}")(a, train)
         b = ConvBN(c_, 1, 1, name="cv2")(x, train)
-        return ConvBN(self.c2, 1, 1, name="cv3")(jnp.concatenate([a, b], axis=-1), train)
+        return ConvBNSum(self.c2, name="cv3")([a, b], train)
 
 
 class C3k2(nn.Module):
@@ -182,9 +264,13 @@ class C3k2(nn.Module):
     shortcut: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x, train: bool = False) -> jax.Array:
+        # list input = lazily-deferred upstream Concat (see C2f / the walker)
         c = int(self.c2 * self.e)
-        y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
+        if isinstance(x, (list, tuple)):
+            y = ConvBNSum(2 * c, name="cv1")(list(x), train)
+        else:
+            y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
         ys = [y[..., :c], y[..., c:]]
         for i in range(self.n):
             if self.c3k:
@@ -192,7 +278,7 @@ class C3k2(nn.Module):
             else:
                 blk = Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=0.5, name=f"m{i}")
             ys.append(blk(ys[-1], train))
-        return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+        return ConvBNSum(self.c2, name="cv2")(ys, train)
 
 
 class SPPF(nn.Module):
@@ -208,12 +294,28 @@ class SPPF(nn.Module):
         p = self.k // 2
         outs = [y]
         for _ in range(3):
-            outs.append(
-                nn.max_pool(
-                    outs[-1], (self.k, self.k), strides=(1, 1), padding=((p, p), (p, p))
+            if train:
+                # SEPARABLE max pool: mp(k,k) == mp(1,k) ∘ mp(k,1) exactly
+                # (max is associative/commutative). The win is the BACKWARD:
+                # XLA lowers maxpool-grad to select_and_scatter whose cost
+                # scales with window size — two window-k scatters beat one
+                # window-k² (round-4 per-op table: 3x 0.62 ms on 13 MB
+                # tensors). Tie routing may pick a different (equally
+                # arbitrary) max witness. Forward-only the single fused pool
+                # reads the tensor once, so eval keeps it.
+                z = nn.max_pool(
+                    outs[-1], (1, self.k), strides=(1, 1), padding=((0, 0), (p, p))
                 )
-            )
-        return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(outs, axis=-1), train)
+                outs.append(
+                    nn.max_pool(z, (self.k, 1), strides=(1, 1), padding=((p, p), (0, 0)))
+                )
+            else:
+                outs.append(
+                    nn.max_pool(
+                        outs[-1], (self.k, self.k), strides=(1, 1), padding=((p, p), (p, p))
+                    )
+                )
+        return ConvBNSum(self.c2, name="cv2")(outs, train)
 
 
 def upsample2x(x: jax.Array) -> jax.Array:

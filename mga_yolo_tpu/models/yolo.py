@@ -183,6 +183,10 @@ class MGAModel(nn.Module):
         plan = self._pack_plan
         if plan:
             from mga_yolo_tpu.models.lanepack import pack_width, unpack_width
+
+        def mat(v):
+            """Materialize a lazily-deferred Concat (list of parts)."""
+            return jnp.concatenate(v, axis=-1) if isinstance(v, list) else v
         # (value, f) of the previous node's packed output when it ran packed;
         # packed regions chain through this, everyone else consumes the
         # unpacked `prev`/cache (XLA dead-code-eliminates unused unpacks)
@@ -199,7 +203,7 @@ class MGAModel(nn.Module):
                     xin = packed_prev[0]
                 else:  # region entry: one relayout into the packed layout
                     base = x if src < 0 else (prev if src == node.index - 1 else cache[src])
-                    xin = pack_width(base, f_in)
+                    xin = pack_width(mat(base), f_in)
                 # positional `train`: nn.remat's static_argnums sees index 2
                 out_p = self.blocks[node.index](xin, train)
                 packed_prev = (out_p, f_out)
@@ -221,18 +225,33 @@ class MGAModel(nn.Module):
                     ins.append(cache[f])
 
             m = node.module
+
+            # Concat nodes are LAZY (a python list of parts): C2f/C3k2 open
+            # with a 1x1 conv, which consumes parts directly as a sum of
+            # row-sliced convs (layers.ConvBNSum) — the neck concats and
+            # their backward slices never materialize. Every other consumer
+            # gets the materialized tensor (mat(), defined above).
             if m == "Upsample":
-                out = L.upsample2x(ins[0])
+                out = L.upsample2x(mat(ins[0]))
             elif m == "Concat":
-                out = jnp.concatenate(ins, axis=-1)
+                # lazy (list) only under train, where the backward slice/pad
+                # savings pay; eval materializes (bench.py −28% otherwise)
+                out = [mat(v) for v in ins] if train else jnp.concatenate(
+                    [mat(v) for v in ins], axis=-1
+                )
             elif m in ("MaskCBAM", "MaskECA", "MaskSPADE"):
                 feat, mask = ins
-                out = self.blocks[node.index](feat, mask, train=train)
+                out = self.blocks[node.index](mat(feat), mat(mask), train=train)
             elif m == "Detect":
-                out = self.blocks[node.index](ins, train=train)
+                out = self.blocks[node.index]([mat(v) for v in ins], train=train)
                 det_out = out
+            elif m in ("C2f", "C3k2"):
+                out = self.blocks[node.index](ins[0], train)  # list-aware
             else:
-                out = self.blocks[node.index](ins[0], train)
+                out = self.blocks[node.index](mat(ins[0]), train)
+
+            if isinstance(out, list) and node.index in self.tap_indices:
+                out = mat(out)  # taps API returns tensors
 
             if m == "MGAMaskHead" and node.scale_name:
                 seg[node.scale_name] = out
@@ -280,12 +299,16 @@ def resolve_use_pallas(mode: bool | str | None, *, training: bool) -> bool:
 def resolve_lane_pack(mode: bool | str | int | None, *, training: bool) -> tuple[bool, int]:
     """Mode-aware resolution of the lane-packing flag (models/lanepack.py).
 
-    Returns (enabled, target_lanes). ``"auto"`` enables the folded-conv
-    packed backbone for TPU *training*, where the backward pass on C<128
-    NHWC layers is lane-padding-bound (measured ~16x per-FLOP gap,
-    tools/scripts/bench_c2f_bisect.py). CPU and inference keep the plain
-    layout unless explicitly enabled. An int (128/256) forces that packing
-    depth on.
+    Returns (enabled, target_lanes). ``"auto"`` resolves to **off** since
+    round 4: the lazy-concat / virtual-concat-1x1 rewrite (layers.ConvBNSum)
+    plus the fused DFL VJP made the PLAIN path the fastest measured train
+    configuration (interleaved same-process A/B @ b128 640 bf16: plain
+    98.6 ms / 1298 img/s vs lanepack-prefix 102.4 ms / 1250 — BASELINE.md
+    round 4; in round 3, before lazy-concat, prefix had won 109 vs 122 ms).
+    Lane packing remains an explicit lever (``lane_pack: 128``/``256``,
+    regions via ``lane_pack_regions``) because the folded-conv machinery is
+    still the right tool when the lane-starved region grows (wider inputs,
+    smaller imgsz). An int (128/256) forces that packing depth on.
     """
     if isinstance(mode, bool):
         return mode, 128
@@ -299,12 +322,8 @@ def resolve_lane_pack(mode: bool | str | int | None, *, training: bool) -> tuple
             return False, 128
         if low.isdigit():
             return int(low) > 0, max(int(low), 128)
-    if not training:
-        return False, 128
-    try:
-        return jax.default_backend() == "tpu", 128
-    except RuntimeError:
-        return False, 128
+    # "auto" / None: off in every mode since round 4 (see docstring)
+    return False, 128
 
 
 def resolve_remat(mode: bool | str | int | None, *, training: bool) -> bool:

@@ -120,14 +120,21 @@ def test_packed_model_equivalence(train):
         ref = model.apply(variables, x, **kwargs)
         got = packed.apply(variables, x, **kwargs)
 
+    # tolerance note (round 4): packed and unpacked now ALSO differ in f32
+    # reduction order inside BN batch stats (PackedBN reduces (B,H,W') then
+    # folds slots; flax BN reduces the unpacked (B,H,W)) and in the virtual-
+    # concat 1x1 convs (per-part f32 partial sums). ~1 ulp per BN cascades
+    # through rsqrt over ~8 layers -> a few 1e-4 relative on the deepest
+    # taps; grads/mAP are unaffected (grad-equivalence test below, mAP
+    # parity BASELINE.md).
     for k in ("p3", "p4", "p5"):
         np.testing.assert_allclose(
-            np.asarray(got["seg"][k]), np.asarray(ref["seg"][k]), rtol=1e-4, atol=1e-4
+            np.asarray(got["seg"][k]), np.asarray(ref["seg"][k]), rtol=5e-4, atol=2e-4
         )
     ref_det = ref["det"] if train else ref["det"][1]
     got_det = got["det"] if train else got["det"][1]
     for a, b in zip(jax.tree_util.tree_leaves(ref_det), jax.tree_util.tree_leaves(got_det)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-4, atol=2e-4)
 
 
 def test_packed_model_grad_equivalence():

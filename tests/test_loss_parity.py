@@ -311,3 +311,99 @@ def test_dfl_analytic_vjp_matches_autodiff(rng):
     v_ref, g_ref = jax.value_and_grad(c_ref)(pd)
     np.testing.assert_allclose(np.asarray(v_new), np.asarray(v_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_dfl_fused_decode_ce_matches_separate(rng):
+    """dfl_decode_ce (single fused VJP, round 4) must equal the separate
+    decode + CE pair in value AND gradient for a scalarization that pulls on
+    both outputs simultaneously (as v8_detection_loss does: CIoU via ltrb,
+    DFL via ce)."""
+    import jax.numpy as jnp
+
+    from mga_yolo_tpu.losses.detection import dfl_ce, dfl_decode, dfl_decode_ce
+
+    B, A, R = 2, 53, 16
+    pd = jnp.asarray(rng.normal(size=(B, A, 4, R)) * 3, jnp.float32)
+    target = jnp.asarray(rng.uniform(0, R - 1, (B, A, 4)), jnp.float32)
+    target = target.at[0, :5].set(jnp.floor(target[0, :5]))  # wl=1 path
+    target = target.at[0, 5].set(R - 1.0)  # clip boundary
+    w = jnp.asarray(rng.uniform(0, 1, (B, A)), jnp.float32)
+
+    def fused(z):
+        ltrb, ce = dfl_decode_ce(z, target)
+        return jnp.sin(ltrb).sum() + (ce * w).sum()
+
+    def separate(z):
+        return jnp.sin(dfl_decode(z)).sum() + (dfl_ce(z, target) * w).sum()
+
+    v_f, g_f = jax.value_and_grad(fused)(pd)
+    v_s, g_s = jax.value_and_grad(separate)(pd)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_s), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-5, atol=1e-6)
+
+
+def test_det_loss_bf16_maps_match_f32(rng):
+    """v8_detection_loss on bf16 det maps (the train-path storage dtype,
+    round 4: the big DFL tensor streams bf16, math stays f32) must produce
+    the IDENTICAL loss value as the same bf16-representable values passed as
+    f32, and gradients equal up to bf16 rounding at the map boundary."""
+    import jax.numpy as jnp
+
+    from mga_yolo_tpu.losses.detection import DetLossConfig, v8_detection_loss
+
+    B, nc, reg_max = 2, 3, 16
+    shapes = [(8, 8), (4, 4), (2, 2)]
+    maps16 = [
+        jnp.asarray(rng.normal(size=(B, h, w, 4 * reg_max + nc)), jnp.bfloat16)
+        for h, w in shapes
+    ]
+    maps32 = [m.astype(jnp.float32) for m in maps16]
+    gt_boxes = jnp.asarray([[[4.0, 4.0, 40.0, 40.0]], [[8.0, 8.0, 30.0, 50.0]]], jnp.float32)
+    gt_labels = jnp.zeros((B, 1), jnp.float32)
+    mask_gt = jnp.ones((B, 1), jnp.float32)
+
+    def run(maps):
+        total, comps = v8_detection_loss(
+            maps, (8, 16, 32), gt_labels, gt_boxes, mask_gt, nc, DetLossConfig()
+        )
+        return total, comps
+
+    def scalar(maps):
+        return run(maps)[0]
+
+    v16, g16 = jax.value_and_grad(scalar)(maps16)
+    v32, g32 = jax.value_and_grad(scalar)(maps32)
+    np.testing.assert_allclose(float(v16), float(v32), rtol=1e-6)
+    for a, b in zip(g16, g32):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b), rtol=0.02, atol=2e-4
+        )
+
+
+def test_kth_largest_matches_sort(rng):
+    """_kth_largest (exact block top-k, round 4) must equal the full-sort
+    kth value bit-for-bit — including duplicated values (multiplicity
+    preserved) and rows with fewer than k positives."""
+    import jax.numpy as jnp
+
+    from mga_yolo_tpu.losses.detection import _kth_largest
+
+    k = 10
+    for shape in [(3, 5, 400), (2, 8, 8400), (1, 1, 100)]:
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        ref = jnp.sort(x, axis=-1)[..., -k][..., None]
+        np.testing.assert_array_equal(np.asarray(_kth_largest(x, k)), np.asarray(ref))
+
+    # heavy ties straddling block boundaries + a sparse row of zeros
+    x = jnp.concatenate(
+        [
+            jnp.full((1, 1, 9), 0.9), jnp.full((1, 1, 3), 0.5),
+            jnp.zeros((1, 1, 388)),
+        ],
+        axis=-1,
+    )
+    x = jnp.asarray(np.random.default_rng(0).permutation(np.asarray(x[0, 0])))[None, None]
+    ref = jnp.sort(x, axis=-1)[..., -k][..., None]  # = 0.5 (multiplicity honored)
+    np.testing.assert_array_equal(np.asarray(_kth_largest(x, k)), np.asarray(ref))
+    assert float(ref[0, 0, 0]) == 0.5

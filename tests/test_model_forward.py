@@ -130,3 +130,31 @@ def test_resolve_use_pallas_modes():
     from mga_yolo_tpu.config import load_config
 
     assert load_config({}).train.use_pallas == "auto"
+
+
+def test_conv1x1sum_hybrid_knob_equivalence(rng, monkeypatch):
+    """MGA_VCONCAT_MIN_K routes narrow parts through a materialized concat;
+    both paths use the identical kernel and f32 accumulation, so outputs and
+    grads must match to reassociation tolerance (round 4, BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mga_yolo_tpu.models.layers import _Conv1x1Sum
+
+    parts = [jnp.asarray(rng.normal(size=(2, 5, 5, c)), jnp.float32) for c in (16, 16, 8)]
+    mod = _Conv1x1Sum(24, 40)
+    monkeypatch.setenv("MGA_VCONCAT_MIN_K", "0")
+    v = mod.init(jax.random.PRNGKey(0), parts)
+
+    def run(ps):
+        return mod.apply(v, ps)
+
+    y_virtual = run(parts)
+    g_virtual = jax.grad(lambda ps: (run(ps) ** 2).sum())(parts)
+    monkeypatch.setenv("MGA_VCONCAT_MIN_K", "64")  # all parts < 64 -> concat path
+    y_concat = run(parts)
+    g_concat = jax.grad(lambda ps: (run(ps) ** 2).sum())(parts)
+
+    np.testing.assert_allclose(np.asarray(y_concat), np.asarray(y_virtual), rtol=2e-5, atol=2e-5)
+    for a, b in zip(g_concat, g_virtual):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)

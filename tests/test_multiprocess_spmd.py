@@ -76,7 +76,7 @@ def _run_worker_cluster(data_yaml, tmp, nprocs: int, devices_per_proc: int,
 
 
 def _run_cluster_with_retry(data_yaml, tmp, nprocs: int, devices_per_proc: int,
-                            attempts: int = 4, cache_dir=None):
+                            attempts: int = 2, cache_dir=None):
     """Retry wrapper for XLA:CPU's 30-s Gloo rendezvous window.
 
     Cross-process collective context init dies with ``Gloo context
@@ -86,24 +86,31 @@ def _run_cluster_with_retry(data_yaml, tmp, nprocs: int, devices_per_proc: int,
     (JAX_LOG_COMPILES diff verified, 2026-08), but on this 1-core sandbox
     their serial compiles contend for the same core, so wall-clock skew
     accumulates program-by-program past the window. Mitigations: a SHARED
-    persistent compilation cache (``cache_dir``) lets the laggard hit the
-    leader's fresh entries — and makes any retry run fully cached, with
-    near-zero skew. TPU runtimes order collectives at compile time over ICI,
-    so none of this applies to real multi-chip. A failed attempt is
-    side-effect-free (fresh run dirs per attempt), and any single success
-    exercises every multi-process branch this test exists to prove.
+    persistent compilation cache (``cache_dir``) — pre-seeded by the
+    single-process reference run that every test here performs FIRST — lets
+    the laggard hit the leader's fresh entries and makes any retry run fully
+    cached with near-zero skew, which is why ``attempts=2`` suffices
+    (VERDICT r3 #7 dropped it from 4). Retries are printed so a run that
+    needed one is visible in the pytest log. TPU runtimes order collectives
+    at compile time over ICI, so none of this applies to real multi-chip. A
+    failed attempt is side-effect-free (fresh run dirs per attempt), and any
+    single success exercises every multi-process branch this test exists to
+    prove.
     """
     last = None
     for attempt in range(attempts):
         try:
-            return _run_worker_cluster(data_yaml, tmp / f"try{attempt}", nprocs,
-                                       devices_per_proc, cache_dir=cache_dir)
+            out = _run_worker_cluster(data_yaml, tmp / f"try{attempt}", nprocs,
+                                      devices_per_proc, cache_dir=cache_dir)
+            print(f"[spmd-test] cluster nprocs={nprocs} ok, retries={attempt}")
+            return out
         except AssertionError as e:
             # Worker-exit failures get retried wholesale: the captured tail is
             # often only coordination-service shutdown noise, and the
             # correctness assertions (loss/metric equality, rank gating) run
             # OUTSIDE this wrapper — a deterministic product crash still fails
             # every attempt and surfaces below with the last log attached.
+            print(f"[spmd-test] cluster nprocs={nprocs} attempt {attempt} failed")
             last = e
     raise AssertionError(
         f"worker cluster failed on all {attempts} attempts "
@@ -153,3 +160,44 @@ def test_two_process_spmd(tmp_path):
     # (c) rank gating: only host 0 wrote CSV + checkpoints
     assert r0["csv_exists"] and r0["ckpt_exists"]
     assert not r1["csv_exists"] and not r1["ckpt_exists"]
+
+
+def test_four_process_spmd(tmp_path):
+    """4 processes x 2 virtual devices = an 8-device global mesh (VERDICT r3
+    #7's scale-up variant). An 8-device mesh flaked as 2x4 under load (see
+    test_two_process_spmd's comment); 4 OS processes keep per-process ranks
+    at 2, and the shared pre-seeded compile cache (from the 1-process
+    warmup) keeps compile skew near zero. Asserts the process-count-
+    independent invariants: every host reduces identical global metrics
+    through the ragged allgather, and only host 0 writes."""
+    root = tmp_path / "ds"
+    data_yaml = create_synthetic_dataset(root, n=8, size=64)
+    cache = tmp_path / "xla_cache"
+
+    single = _run_worker_cluster(data_yaml, tmp_path / "single", nprocs=1,
+                                 devices_per_proc=8, cache_dir=cache)[0]
+    assert single["num_devices"] == 8
+
+    quad = _run_cluster_with_retry(data_yaml, tmp_path / "quad", nprocs=4,
+                                   devices_per_proc=2, cache_dir=cache)
+    by_pid = {r["process_id"]: r for r in quad}
+    assert sorted(by_pid) == [0, 1, 2, 3]
+    assert by_pid[0]["num_devices"] == 8 and by_pid[0]["local_devices"] == 2
+
+    # every host computed identical global metrics + per-epoch rows
+    for pid in (1, 2, 3):
+        assert by_pid[pid]["final"] == by_pid[0]["final"]
+        for row0, rowp in zip(by_pid[0]["rows"], by_pid[pid]["rows"]):
+            for k in LOSS_KEYS + ["metrics/mAP50(B)", "metrics/mAP50-95(B)"]:
+                assert row0[k] == pytest.approx(rowp[k], rel=1e-6), k
+
+    # numerically the single-process 8-device run (same global batches/mesh)
+    assert len(by_pid[0]["rows"]) == len(single["rows"]) == 2
+    for row_d, row_s in zip(by_pid[0]["rows"], single["rows"]):
+        for k in LOSS_KEYS:
+            assert row_d[k] == pytest.approx(row_s[k], rel=1e-3, abs=1e-5), k
+
+    # rank gating: host 0 only
+    assert by_pid[0]["csv_exists"] and by_pid[0]["ckpt_exists"]
+    for pid in (1, 2, 3):
+        assert not by_pid[pid]["csv_exists"] and not by_pid[pid]["ckpt_exists"]

@@ -50,6 +50,10 @@ def main() -> None:
 
     runners = []
     for arm in arms:
+        # per-arm env knobs (e.g. MGA_PACKED_SPLIT_IMPL) — read at TRACE time
+        # by the modules, so setting them just before create_model/compile
+        # lets one process compare env-selected implementations fairly
+        os.environ.update({k: str(v) for k, v in arm.get("env", {}).items()})
         model, spec = create_model(
             "configs/models/yolov8_cbam.yaml", scale="n", nc=1,
             use_pallas=bool(arm.get("pallas", 0)),
