@@ -15,6 +15,7 @@ under ``jit`` and runs on the MXU/VPU with no host synchronization.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Sequence
 
 import jax
@@ -71,14 +72,42 @@ def _fast_pow(x: jax.Array, p: float) -> jax.Array:
 
 def _kth_largest(x: jax.Array, k: int) -> jax.Array:
     """EXACT k-th largest value (with multiplicity) along the last axis,
-    keepdims. approx_max_k(recall=1.0) is exact and, per the round-4 on-chip
-    trace, lowers to one full sort of the metric (3.7 ms at (128,8,8400)
-    b128). Two measured dead ends recorded in BASELINE.md round 4: a blocked
-    sort-of-128-wide-chunks (5x WORSE — minor-dim sorts of short rows
-    vectorize terribly on TPU) and an iterative masked-max (breaks tie
-    multiplicity, tests/test_loss_parity.py tie cases). A single-pass Pallas
-    selection kernel is the remaining upside here."""
-    return jax.lax.approx_max_k(x, k, recall_target=1.0)[0][..., -1:]
+    keepdims.
+
+    Default impl (``iter``): k rounds of distinct-max **with a running
+    >=-count**, which makes it tie-exact — the k-th largest in sorted-with-
+    duplicates order is the largest distinct value d with count(x >= d) >= k,
+    and each round visits the next distinct value. Each round is two fused
+    streaming reductions over the row (masked max, then >=-count), so the
+    whole thing is ~2k linear passes — interleaved-A/B'd at −5.4 ms/step
+    vs ``approx_max_k(recall=1.0)`` at (128,8,8400) f32 b128/640 on v5e
+    (the latter lowers to a FULL SORT worth 3.7 ms device time plus its
+    layout copies, round-4 per-op table in BASELINE.md). Earlier
+    dead ends for the record: blocked 128-wide chunk sort (5x worse —
+    minor-dim sorts of short rows vectorize terribly on TPU) and the
+    count-less masked-max (breaks tie multiplicity,
+    tests/test_loss_parity.py tie cases). ``MGA_KTH_IMPL=approx`` restores
+    the sort-based path (A/B knob, read at trace time).
+    """
+    if os.environ.get("MGA_KTH_IMPL", "iter") == "approx":
+        return jax.lax.approx_max_k(x, k, recall_target=1.0)[0][..., -1:]
+    lead = x.shape[:-1] + (1,)
+    d = jnp.full(lead, jnp.inf, x.dtype)       # last distinct value visited
+    kth = jnp.zeros(lead, x.dtype)
+    done = jnp.zeros(lead, bool)
+    neg = jnp.array(-jnp.inf, x.dtype)
+    for _ in range(k):
+        nm = jnp.max(jnp.where(x < d, x, neg), axis=-1, keepdims=True)
+        # count with multiplicity; jnp.max returns an element of x, so the
+        # == comparison inside >= is exact (no rounding)
+        nc = jnp.sum((x >= nm).astype(jnp.float32), axis=-1, keepdims=True)
+        hit = (~done) & (nc >= k)
+        kth = jnp.where(hit, nm, kth)
+        done = done | hit
+        d = nm
+    # rows always resolve within k rounds: every distinct value adds >= 1 to
+    # the count and the row length A >= k in every caller
+    return kth
 
 
 def task_aligned_assigner(
@@ -336,6 +365,23 @@ def _dfl_decode_ce_bwd(res, gs):
     pd, ltrb, target = res
     g_ltrb, g_ce = gs
     reg_max = pd.shape[-1]
+    # TPU path: one Pallas pass over pd (ops/pallas/dfl_bwd.py) — XLA lowers
+    # this same math to a batch-minor kLoop fusion ~9x off bandwidth SoL
+    # (3.3 ms/step at b128/640, round-4 per-op table). MGA_DFL_BWD=xla is the
+    # A/B escape hatch; value parity pinned by tests/test_dfl_bwd_pallas.py.
+    if (
+        os.environ.get("MGA_DFL_BWD", "pallas") == "pallas"
+        and 128 % reg_max == 0
+        and (pd.shape[0] * pd.shape[1] * 4 * reg_max) % 128 == 0
+    ):
+        from mga_yolo_tpu.ops.pallas.dfl_bwd import HAS_PALLAS, dfl_decode_ce_bwd_pallas
+
+        if HAS_PALLAS and jax.default_backend() == "tpu":
+            dz = dfl_decode_ce_bwd_pallas(
+                pd, ltrb.astype(jnp.float32), g_ltrb.astype(jnp.float32),
+                g_ce.astype(jnp.float32), target.astype(jnp.float32),
+            )
+            return dz, None
     proj = jnp.arange(reg_max, dtype=jnp.float32)
     tl, tr, wl, wr = _dfl_interp(target.astype(jnp.float32), reg_max)
     p = jax.nn.softmax(pd.astype(jnp.float32), axis=-1)  # recompute, f32
