@@ -128,6 +128,12 @@ class _Conv1x1Sum(nn.Module):
                 preferred_element_type=jnp.float32,
             )
             return y.astype(x.dtype)
+        # partial-sum dtype: f32 keeps the exact single-conv summation order;
+        # bf16 halves the HBM write traffic of every partial (the round-4
+        # SoL table shows these dots' f32 outputs are the largest avoidable
+        # byte stream on l2/l4/l15 — each partial is written once and read
+        # once, so bf16 rounding enters each element once, before a BN).
+        acc_t = jnp.float32 if os.environ.get("MGA_VCONCAT_ACC", "f32") == "f32" else None
         off, acc = 0, None
         for p in parts:
             ci = p.shape[-1]
@@ -135,7 +141,7 @@ class _Conv1x1Sum(nn.Module):
                 "bhwc,co->bhwo",
                 p,
                 w[0, 0, off : off + ci, :].astype(p.dtype),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             )
             acc = y if acc is None else acc + y
             off += ci

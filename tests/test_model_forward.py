@@ -158,3 +158,36 @@ def test_conv1x1sum_hybrid_knob_equivalence(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(y_concat), np.asarray(y_virtual), rtol=2e-5, atol=2e-5)
     for a, b in zip(g_concat, g_virtual):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+def test_conv1x1sum_bf16_acc_close(rng, monkeypatch):
+    """MGA_VCONCAT_ACC=bf16 keeps MXU-internal f32 accumulation per partial
+    dot but stores partial sums in the activation dtype, halving the HBM
+    write traffic of the virtual-concat dots (round-4 SoL table). Each
+    element takes bf16 rounding once per partial, so outputs/grads must stay
+    within a few bf16 ulps of the exact-f32-sum path."""
+    import jax
+    import jax.numpy as jnp
+
+    from mga_yolo_tpu.models.layers import _Conv1x1Sum
+
+    parts = [jnp.asarray(rng.normal(size=(2, 5, 5, c)), jnp.bfloat16) for c in (16, 16, 8)]
+    mod = _Conv1x1Sum(24, 40)
+    monkeypatch.setenv("MGA_VCONCAT_ACC", "f32")
+    v = mod.init(jax.random.PRNGKey(0), parts)
+
+    def run(ps):
+        return mod.apply(v, ps)
+
+    y_f32 = run(parts)
+    g_f32 = jax.grad(lambda ps: (run(ps).astype(jnp.float32) ** 2).sum())(parts)
+    monkeypatch.setenv("MGA_VCONCAT_ACC", "bf16")
+    y_bf16 = run(parts)
+    g_bf16 = jax.grad(lambda ps: (run(ps).astype(jnp.float32) ** 2).sum())(parts)
+
+    # bf16 eps ~ 7.8e-3; partial sums take <= len(parts) roundings
+    np.testing.assert_allclose(np.asarray(y_bf16, np.float32), np.asarray(y_f32, np.float32),
+                               rtol=0.05, atol=0.05)
+    for a, b in zip(g_bf16, g_f32):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                                   rtol=0.05, atol=0.05)
