@@ -16,6 +16,8 @@ from typing import Any, Optional
 
 import yaml
 
+from mga_yolo_tpu.perf import PerfConfig
+
 
 @dataclasses.dataclass
 class MaskPipelineConfig:
@@ -148,6 +150,9 @@ class MGAConfig:
     augment: AugmentConfig = dataclasses.field(default_factory=AugmentConfig)
     mask: MaskPipelineConfig = dataclasses.field(default_factory=MaskPipelineConfig)
     seg: SegCfg = dataclasses.field(default_factory=SegCfg)
+    # trace-time implementation selectors (perf.py); flat YAML keys
+    # kth_impl / dfl_bwd / vconcat_acc / vconcat_min_k / packed_split
+    perf: PerfConfig = dataclasses.field(default_factory=PerfConfig)
     extra: dict = dataclasses.field(default_factory=dict)  # unconsumed keys, kept for forwarding
 
     @property
@@ -172,6 +177,7 @@ _MGA_KEY_MAP = {
 }
 
 _SEG_KEYS = {f.name for f in dataclasses.fields(SegCfg)}
+_PERF_KEYS = {f.name for f in dataclasses.fields(PerfConfig)}
 _AUG_KEYS = {f.name for f in dataclasses.fields(AugmentConfig)}
 _TRAIN_KEYS = {f.name for f in dataclasses.fields(TrainConfig)}
 _DATA_KEYS = {f.name for f in dataclasses.fields(DataConfig)}
@@ -241,6 +247,8 @@ def load_config(cfg: str | Path | dict | None = None, **overrides) -> MGAConfig:
             setattr(obj, field, _coerce(value, getattr(obj, field)))
         elif key in _SEG_KEYS:
             setattr(out.seg, key, _coerce(value, getattr(out.seg, key)))
+        elif key in _PERF_KEYS:
+            setattr(out.perf, key, _coerce(value, getattr(out.perf, key)))
         elif key in _AUG_KEYS:
             setattr(out.augment, key, _coerce(value, getattr(out.augment, key)))
         elif key in _DATA_KEYS:

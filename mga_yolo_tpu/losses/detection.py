@@ -15,12 +15,12 @@ under ``jit`` and runs on the MXU/VPU with no host synchronization.
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 
+from mga_yolo_tpu import perf
 from mga_yolo_tpu.ops.boxes import bbox2dist, bbox_iou_ciou, dist2bbox, make_anchors
 
 
@@ -86,10 +86,10 @@ def _kth_largest(x: jax.Array, k: int) -> jax.Array:
     dead ends for the record: blocked 128-wide chunk sort (5x worse —
     minor-dim sorts of short rows vectorize terribly on TPU) and the
     count-less masked-max (breaks tie multiplicity,
-    tests/test_loss_parity.py tie cases). ``MGA_KTH_IMPL=approx`` restores
-    the sort-based path (A/B knob, read at trace time).
+    tests/test_loss_parity.py tie cases). ``perf.kth_impl="approx"`` (config
+    key ``kth_impl`` / bench env ``MGA_KTH_IMPL``) restores the sort path.
     """
-    if os.environ.get("MGA_KTH_IMPL", "iter") == "approx":
+    if perf.active().kth_impl == "approx":
         return jax.lax.approx_max_k(x, k, recall_target=1.0)[0][..., -1:]
     lead = x.shape[:-1] + (1,)
     d = jnp.full(lead, jnp.inf, x.dtype)       # last distinct value visited
@@ -367,10 +367,11 @@ def _dfl_decode_ce_bwd(res, gs):
     reg_max = pd.shape[-1]
     # TPU path: one Pallas pass over pd (ops/pallas/dfl_bwd.py) — XLA lowers
     # this same math to a batch-minor kLoop fusion ~9x off bandwidth SoL
-    # (3.3 ms/step at b128/640, round-4 per-op table). MGA_DFL_BWD=xla is the
-    # A/B escape hatch; value parity pinned by tests/test_dfl_bwd_pallas.py.
+    # (3.3 ms/step at b128/640, round-4 per-op table). perf.dfl_bwd="xla"
+    # (config key dfl_bwd / bench env MGA_DFL_BWD) is the A/B escape hatch;
+    # value parity pinned by tests/test_dfl_bwd_pallas.py.
     if (
-        os.environ.get("MGA_DFL_BWD", "pallas") == "pallas"
+        perf.active().dfl_bwd == "pallas"
         and 128 % reg_max == 0
         and (pd.shape[0] * pd.shape[1] * 4 * reg_max) % 128 == 0
     ):

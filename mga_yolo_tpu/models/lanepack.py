@@ -36,11 +36,12 @@ problem; cuDNN handles NCHW C=16 natively).
 from __future__ import annotations
 
 import math
-import os
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from mga_yolo_tpu import perf
 
 from mga_yolo_tpu.models.layers import autopad, torch_default
 
@@ -274,9 +275,9 @@ def _lane_select_matrix(f: int, c: int, off: int, sz: int, dtype) -> jax.Array:
 def _split_lanes(xp: jax.Array, f: int, sizes: list[int]) -> list[jax.Array]:
     """Split a packed tensor along logical channels (within each slot block).
 
-    Two bit-exact implementations, selected by MGA_PACKED_SPLIT_IMPL (a
-    measurement knob for the interleaved A/B, read at trace time so one
-    process can compile both; default ``matmul``):
+    Two bit-exact implementations, selected by ``perf.packed_split`` (config
+    key ``packed_split`` / bench env ``MGA_PACKED_SPLIT_IMPL``, read at trace
+    time so one A/B process can compile both; default ``matmul``):
     ``matmul`` — per-part selection matmuls (single-1 columns, exact copy;
     backward is the transposed matmul); ``reshape`` — the former 5-D
     reshape+slice (forces a c-minor lane-relayout copy, ~1 ms entries in the
@@ -284,7 +285,7 @@ def _split_lanes(xp: jax.Array, f: int, sizes: list[int]) -> list[jax.Array]:
     """
     b, h, wp, fc = xp.shape
     c = fc // f
-    if os.environ.get("MGA_PACKED_SPLIT_IMPL", "matmul") == "reshape":
+    if perf.active().packed_split == "reshape":
         slots = xp.reshape(b, h, wp, f, c)
         outs, off = [], 0
         for sz in sizes:

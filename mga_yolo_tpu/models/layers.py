@@ -15,12 +15,13 @@ Functional re-implementations of the reference blocks
 from __future__ import annotations
 
 import math
-import os
 from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from mga_yolo_tpu import perf
 
 # Kaiming-normal (fan_out) — used by the reference mask head / SPADE init
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -99,9 +100,13 @@ class _Conv1x1Sum(nn.Module):
     as the sum of per-part row-sliced matmuls — the concat (and its backward
     split/pad) never materializes. Parameter-identical to
     ``nn.Conv(c2, (1,1), name=...)`` on the concatenated input. Numerics: each
-    part accumulates on the MXU in f32 and the partial sums add in f32 before
-    one cast to the activation dtype — the only deviation from the single
-    conv is f32 summation order (~1 ulp), inside every parity tolerance.
+    part accumulates on the MXU in f32; with the default ``perf.vconcat_acc
+    = "f32"`` the partial sums also add in f32 before one cast to the
+    activation dtype — the only deviation from the single conv is f32
+    summation order (~1 ulp), inside every parity tolerance. With
+    ``vconcat_acc="bf16"`` each partial is instead rounded once to bf16
+    before the adds (halves the partials' HBM write/read bytes; rounding
+    enters each element once, before a BatchNorm).
 
     Motivation (round-4 per-op table, BASELINE.md): the C2f/SPPF concats and
     their backward slices/pads are among the largest elementwise entries in
@@ -114,14 +119,18 @@ class _Conv1x1Sum(nn.Module):
     @nn.compact
     def __call__(self, parts: Sequence[jax.Array]) -> jax.Array:
         w = self.param("kernel", torch_default, (1, 1, self.c_in, self.c2))
+        knobs = perf.active()
         # hybrid rule: per-part matmuls have contraction depth K = part
-        # channels; below MGA_VCONCAT_MIN_K (trace-time knob, A/B'd on chip
-        # — BASELINE.md round 4) the tiny-K matmuls starve the MXU worse
-        # than one materialized concat + a single K=c_in conv costs, so
-        # narrow parts take the concat path. Value-identical either way
-        # (same kernel, f32 accumulation; only summation order differs).
-        min_k = int(os.environ.get("MGA_VCONCAT_MIN_K", "0"))
-        if len(parts) > 1 and min(p.shape[-1] for p in parts) < min_k:
+        # channels; below perf.vconcat_min_k (config key vconcat_min_k /
+        # bench env MGA_VCONCAT_MIN_K, A/B'd on chip — BASELINE.md round 4)
+        # the tiny-K matmuls starve the MXU worse than one materialized
+        # concat + a single K=c_in conv costs, so narrow parts take the
+        # concat path. With the default f32 accumulation the two paths are
+        # value-identical up to f32 summation order; with vconcat_acc=bf16
+        # the virtual path additionally rounds each partial to bf16 while
+        # this concat fallback stays f32 (the fallback exists to feed the
+        # MXU better, not to change numerics — it keeps the exact path).
+        if len(parts) > 1 and min(p.shape[-1] for p in parts) < knobs.vconcat_min_k:
             x = jnp.concatenate(list(parts), axis=-1)
             y = jnp.einsum(
                 "bhwc,co->bhwo", x, w[0, 0].astype(x.dtype),
@@ -133,7 +142,8 @@ class _Conv1x1Sum(nn.Module):
         # SoL table shows these dots' f32 outputs are the largest avoidable
         # byte stream on l2/l4/l15 — each partial is written once and read
         # once, so bf16 rounding enters each element once, before a BN).
-        acc_t = jnp.float32 if os.environ.get("MGA_VCONCAT_ACC", "f32") == "f32" else None
+        # Selected by perf.vconcat_acc (config key / bench env MGA_VCONCAT_ACC).
+        acc_t = jnp.float32 if knobs.vconcat_acc == "f32" else None
         off, acc = 0, None
         for p in parts:
             ci = p.shape[-1]

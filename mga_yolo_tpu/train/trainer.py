@@ -69,6 +69,12 @@ class MGATrainer:
         # (dirs are created after device/optimizer validation below, so a bad
         # config doesn't leave an empty run dir behind)
 
+        # install the typed trace-time perf knobs (perf.py) before any
+        # model/loss tracing; validates YAML values up front
+        from mga_yolo_tpu import perf
+
+        perf.configure(cfg.perf)
+
         self.model, self.spec = create_model(
             t.model,
             scale=t.model_scale,

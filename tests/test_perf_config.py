@@ -1,0 +1,66 @@
+"""Typed perf-knob config (mga_yolo_tpu/perf.py) — SURVEY §5.6 mandate.
+
+Round 4 let four trace-time A/B knobs creep in as raw ``os.environ`` reads
+(VERDICT r4 Weak #8); perf.py centralizes them as typed, validated config
+with env kept only as a documented bench-only override. These tests pin:
+YAML-key routing, env precedence, and loud failure on invalid values.
+"""
+
+import dataclasses
+
+import pytest
+
+from mga_yolo_tpu import perf
+from mga_yolo_tpu.config import load_config
+
+
+@pytest.fixture(autouse=True)
+def _reset_perf():
+    yield
+    perf.configure(perf.PerfConfig())
+
+
+def test_yaml_keys_route_to_perf_section():
+    cfg = load_config({"kth_impl": "approx", "dfl_bwd": "xla",
+                       "vconcat_acc": "bf16", "vconcat_min_k": 32,
+                       "packed_split": "reshape"})
+    assert cfg.perf == perf.PerfConfig(
+        kth_impl="approx", dfl_bwd="xla", vconcat_acc="bf16",
+        vconcat_min_k=32, packed_split="reshape")
+    # keys consumed by the perf section, not leaked to extra
+    assert not cfg.extra
+
+
+def test_configure_then_active_round_trips():
+    cfg = load_config({"vconcat_acc": "bf16"})
+    perf.configure(cfg.perf)
+    assert perf.active().vconcat_acc == "bf16"
+    # configure copies: mutating the source later must not leak in
+    cfg.perf.vconcat_acc = "f32"
+    assert perf.active().vconcat_acc == "bf16"
+
+
+def test_env_overrides_configured_value(monkeypatch):
+    perf.configure(perf.PerfConfig(kth_impl="iter"))
+    monkeypatch.setenv("MGA_KTH_IMPL", "approx")
+    assert perf.active().kth_impl == "approx"
+    monkeypatch.setenv("MGA_VCONCAT_MIN_K", "48")
+    assert perf.active().vconcat_min_k == 48
+
+
+def test_invalid_value_raises_at_configure():
+    with pytest.raises(ValueError, match="dfl_bwd"):
+        perf.configure(perf.PerfConfig(dfl_bwd="bogus"))
+
+
+def test_invalid_env_raises_at_active(monkeypatch):
+    monkeypatch.setenv("MGA_PACKED_SPLIT_IMPL", "bogus")
+    with pytest.raises(ValueError, match="packed_split"):
+        perf.active()
+
+
+def test_defaults_are_the_measured_winners():
+    d = perf.PerfConfig()
+    assert dataclasses.asdict(d) == {
+        "kth_impl": "iter", "dfl_bwd": "pallas", "vconcat_acc": "f32",
+        "vconcat_min_k": 0, "packed_split": "matmul"}

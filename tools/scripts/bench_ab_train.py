@@ -28,7 +28,8 @@ import numpy as np
 
 IMGSZ = int(os.environ.get("MGA_AB_IMGSZ", "640"))
 BATCH = int(os.environ.get("MGA_AB_BATCH", "128"))
-K1, K2, REPS = 2, 12, 7
+K1, K2 = 2, 12
+REPS = int(os.environ.get("MGA_AB_REPS", "7"))
 DEFAULT_ARMS = [
     {"label": "plain", "pallas": 0, "lanepack": "0", "regions": "auto", "remat": "0"},
     {"label": "lanepack_prefix", "pallas": 0, "lanepack": "auto", "regions": "prefix", "remat": "0"},
@@ -96,9 +97,13 @@ def main() -> None:
 
     out = {"batch": BATCH, "imgsz": IMGSZ, "arms": {}}
     for label, r in results.items():
-        per_step = (float(np.median(r["t2"])) - float(np.median(r["t1"]))) / (K2 - K1)
-        out["arms"][label] = {"step_ms": round(per_step * 1e3, 2),
-                              "img_s": round(BATCH / per_step, 1)}
+        # per-rep step estimates, so the output shows spread (is an arm gap
+        # bigger than the within-process rep-to-rep noise?)
+        per_rep = [(b - a) / (K2 - K1) * 1e3 for a, b in zip(r["t1"], r["t2"])]
+        per_step = float(np.median(per_rep))
+        out["arms"][label] = {"step_ms": round(per_step, 2),
+                              "img_s": round(BATCH / per_step * 1e3, 1),
+                              "rep_ms": [round(t, 1) for t in per_rep]}
     print(json.dumps(out))
 
 

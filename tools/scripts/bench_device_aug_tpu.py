@@ -21,6 +21,7 @@ from __future__ import annotations
 import csv
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -36,6 +37,12 @@ BATCH = int(os.environ.get("MGA_DEVAUG_BATCH", "32"))
 def run_arm(name: str, on_device: bool, data_yaml: Path) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
+    # the trainer's resolve_save_dir increments colliding names (host_aug ->
+    # host_aug2); a stale dir from a previous bench run would silently serve
+    # its old results.csv — clear it so the read below is this run's
+    run_dir = OUT / "runs" / name
+    if run_dir.exists():
+        shutil.rmtree(run_dir)
     t0 = time.perf_counter()
     cmd = [
         sys.executable, "-m", "mga_yolo_tpu.cli.train",
@@ -52,7 +59,13 @@ def run_arm(name: str, on_device: bool, data_yaml: Path) -> dict:
     if r.returncode != 0:
         print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
         raise SystemExit(f"arm {name} failed")
-    rows = list(csv.DictReader(open(OUT / "runs" / name / "results.csv")))
+    if on_device and "augment.on_device disabled" in r.stdout:
+        # the trainer silently falls back to host augmentation when the
+        # config needs host-only pieces — two identical host arms would
+        # masquerade as a valid A/B
+        line = next(l for l in r.stdout.splitlines() if "on_device disabled" in l)
+        raise SystemExit(f"arm {name} fell back to host augmentation: {line}")
+    rows = list(csv.DictReader(open(run_dir / "results.csv")))
     return {"wall_s": round(wall, 1), "rows": rows}
 
 
