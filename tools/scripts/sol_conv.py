@@ -154,8 +154,8 @@ def parse_convs(path: str):
                 # hugely (pad taps aren't semantic work). Those are all
                 # 1x1-derived matmul forms here — bytes is the binding
                 # bound, so skip the FLOPs bound rather than fake one.
-                exotic = "rhs_reversal" in w or re.search(r"pad=(\d+)", w) and int(
-                    re.search(r"pad=(\d+)", w).group(1)) > 3
+                pads = [int(p) for pair in re.findall(r"pad=(\d+)_(\d+)", w) for p in pair]
+                exotic = bool("rhs_reversal" in w or (pads and max(pads) > 3))
                 sm2 = re.search(r"size=([\dx]+)", w)
                 if sm2:
                     for d in sm2.group(1).split("x"):
@@ -191,13 +191,26 @@ def parse_convs(path: str):
 LAYER = re.compile(r"/(l\d+_[a-zA-Z0-9]+)[/.]")
 
 
-def classify(op_name: str) -> tuple[str, str]:
+def classify_layer(op_name: str) -> str:
     m = LAYER.search(op_name)
-    layer = m.group(1) if m else ("loss" if "loss" in op_name else "other")
-    kind = "wgrad" if "transpose(" in op_name and "conv_general" in op_name else "conv"
-    # dgrad vs wgrad: JAX labels both transpose(jvp(conv...)); distinguish by
-    # output shape rank-order later (wgrad output is kernel-shaped: small)
-    return layer, kind
+    return m.group(1) if m else ("loss" if "loss" in op_name else "other")
+
+
+def _dims0(shape_str: str) -> int:
+    return int(shape_str.split("[")[1][:-1].split(",")[0])
+
+
+def classify_kind(c: dict) -> str:
+    """fwd / dgrad / wgrad, structurally. JAX labels both gradient convs
+    transpose(jvp(conv...)); a WGRAD's output is the kernel — its leading
+    dim is a kernel spatial (<= 13), while both operands lead with the batch
+    — so wgrad iff the output's dim0 matches NEITHER operand's dim0 (a dgrad
+    always shares batch with at least one operand, even when the other
+    operand is the kernel)."""
+    if "transpose(" not in c["op_name"]:
+        return "fwd"
+    o, l, r = _dims0(c["out"]), _dims0(c["lhs"]), _dims0(c["rhs"])
+    return "wgrad" if o != l and o != r else "dgrad"
 
 
 def main() -> None:
@@ -226,18 +239,8 @@ def main() -> None:
         sol_sum = sum(c["sol_ms"] for c in cs) or 1.0
         for c in cs:
             meas = t_ms * c["sol_ms"] / sol_sum
-            kernel_small = (len([d for d in c["rhs"].split("[")[1][:-1].split(",")]) == 4
-                            and c["out"].split("[")[1][:-1].split(",")[0:1] ==
-                            c["rhs"].split("[")[1][:-1].split(",")[0:1])
-            kind = "fwd"
-            if "transpose(" in c["op_name"]:
-                # wgrad writes a kernel-shaped output (tiny vs activations)
-                out_elems = 1
-                for d in c["out"].split("[")[1][:-1].split(","):
-                    out_elems *= int(d)
-                kind = "wgrad" if out_elems < 10_000_000 else "dgrad"
-            layer, _ = classify(c["op_name"])
-            rows.append({**c, "meas_ms": meas, "kind": kind, "layer": layer,
+            rows.append({**c, "meas_ms": meas, "kind": classify_kind(c),
+                         "layer": classify_layer(c["op_name"]),
                          "eff": c["sol_ms"] / meas if meas > 0 else 0.0})
 
     rows.sort(key=lambda r: -r["meas_ms"])
