@@ -31,6 +31,47 @@ BATCH = int(os.environ.get("MGA_BENCH_BATCH", "128"))
 STEPS = 5
 
 
+def capture_eval() -> None:
+    """Trace the EVAL forward (bench.py's inference program: train=False,
+    decoded head) — VERDICT r4 Next #6: inference has been flat ~5.3k img/s
+    for three rounds with no attribution ever captured. Same trace+HLO-join
+    method as the train capture; MGA_TRACE_MODE=eval selects this."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mga_yolo_tpu.models.yolo import create_model
+
+    model, _spec = create_model(
+        "configs/models/yolov8_cbam.yaml", scale="n", nc=1,
+        use_pallas=os.environ.get("MGA_BENCH_PALLAS", "auto"),
+        training=False,
+    )
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 256, 256, 3), jnp.bfloat16), train=False)
+    v = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16)
+                               if a.dtype == jnp.float32 else a, v)
+    x = jnp.asarray(
+        np.random.default_rng(0).random((BATCH, IMGSZ, IMGSZ, 3)), jnp.bfloat16)
+
+    @jax.jit
+    def fwd(v, x):
+        return model.apply(v, x, train=False)["det"][0]
+
+    compiled = fwd.lower(v, x).compile()
+    os.makedirs(DUMP_DIR, exist_ok=True)
+    with open(f"{DUMP_DIR}/eval_step_after_optimizations.txt", "w") as f:
+        f.write(compiled.as_text())
+
+    for _ in range(3):
+        out = fwd(v, x)
+    jax.block_until_ready(out)
+    with jax.profiler.trace(TRACE_DIR):
+        for _ in range(STEPS):
+            out = fwd(v, x)
+        jax.block_until_ready(out)
+
+
 def capture() -> None:
     import jax
     import jax.numpy as jnp
@@ -198,12 +239,13 @@ def classify(op_name: str) -> tuple[str, str]:
 
 
 def main() -> None:
+    mode = os.environ.get("MGA_TRACE_MODE", "train")
     if not os.environ.get("MGA_SKIP_CAPTURE"):
         shutil.rmtree(TRACE_DIR, ignore_errors=True)
         shutil.rmtree(DUMP_DIR, ignore_errors=True)
-        capture()
+        capture_eval() if mode == "eval" else capture()
 
-    hlo_files = sorted(glob.glob(f"{DUMP_DIR}/*train_step*after_optimizations.txt"))
+    hlo_files = sorted(glob.glob(f"{DUMP_DIR}/*{mode}_step*after_optimizations.txt"))
     if not hlo_files:
         hlo_files = sorted(glob.glob(f"{DUMP_DIR}/*after_optimizations.txt"))
     print(json.dumps({"hlo_files": hlo_files[-3:]}))

@@ -45,8 +45,18 @@ def main() -> None:
     arms = json.loads(os.environ.get("MGA_AB_ARMS", "")) if os.environ.get("MGA_AB_ARMS") else DEFAULT_ARMS
     cfg = load_config({})
     mesh = S.data_mesh(jax.devices()[:1])
-    data = S.host_local_to_global(make_batch(BATCH, IMGSZ), mesh)
-    jax.block_until_ready(data["image"])
+    # default batch data; arms may override with {"batch": N} (per-arm data
+    # cached by size so two arms at the same batch share one upload)
+    _data_cache: dict[int, object] = {}
+
+    def data_for(b: int):
+        if b not in _data_cache:
+            d = S.host_local_to_global(make_batch(b, IMGSZ), mesh)
+            jax.block_until_ready(d["image"])
+            _data_cache[b] = d
+        return _data_cache[b]
+
+    data = data_for(BATCH)
     rngk = jax.random.PRNGKey(1)
 
     runners = []
@@ -72,11 +82,14 @@ def main() -> None:
             mesh,
         )
 
-        def chain(n, _step=step_fn, _st=st):
+        arm_batch = int(arm.get("batch", BATCH))
+        arm_data = data_for(arm_batch)
+
+        def chain(n, _step=step_fn, _st=st, _d=arm_data):
             s = jax.tree_util.tree_map(jnp.copy, _st)
             m = None
             for _ in range(n):
-                s, m = _step(s, data, 0.01, 0.01, 0.9, rngk)
+                s, m = _step(s, _d, 0.01, 0.01, 0.9, rngk)
             return float(m["loss"])
 
         print(f"[ab] compiling {arm['label']}", flush=True)
@@ -86,23 +99,25 @@ def main() -> None:
             print(f"[ab] arm {arm['label']} failed: {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
             continue
-        runners.append((arm["label"], chain))
+        runners.append((arm["label"], chain, arm_batch))
 
-    results = {label: {"t1": [], "t2": []} for label, _ in runners}
+    results = {label: {"t1": [], "t2": []} for label, _, _ in runners}
     for rep in range(REPS):
-        for label, chain in runners:
+        for label, chain, _ in runners:
             t0 = time.perf_counter(); chain(K1); results[label]["t1"].append(time.perf_counter() - t0)
             t0 = time.perf_counter(); chain(K2); results[label]["t2"].append(time.perf_counter() - t0)
         print(f"[ab] rep {rep + 1}/{REPS} done", flush=True)
 
     out = {"batch": BATCH, "imgsz": IMGSZ, "arms": {}}
+    arm_batches = {label: b for label, _, b in runners}
     for label, r in results.items():
         # per-rep step estimates, so the output shows spread (is an arm gap
         # bigger than the within-process rep-to-rep noise?)
         per_rep = [(b - a) / (K2 - K1) * 1e3 for a, b in zip(r["t1"], r["t2"])]
         per_step = float(np.median(per_rep))
         out["arms"][label] = {"step_ms": round(per_step, 2),
-                              "img_s": round(BATCH / per_step * 1e3, 1),
+                              "batch": arm_batches[label],
+                              "img_s": round(arm_batches[label] / per_step * 1e3, 1),
                               "rep_ms": [round(t, 1) for t in per_rep]}
     print(json.dumps(out))
 

@@ -138,7 +138,8 @@ def timed_chain(fn, args, n):
     @jax.jit
     def run(c0, *a):
         def body(c, _):
-            out = fn(a[0] * (1 + c * 0), *a[1:])
+            scale = (1 + c * 0).astype(a[0].dtype)  # keep the operand dtype
+            out = fn(a[0] * scale, *a[1:])
             return c + jnp.sum(out.astype(jnp.float32)) * 1e-30, None
         return lax.scan(body, c0, None, length=n)[0]
 
@@ -176,18 +177,27 @@ def main() -> None:
             arms["wgrad_phase"] = lambda gg: wgrad_phase_s2(gg, x, ws)
         arms["fwd_ref"] = lambda xx: conv_fwd(xx, w, s)  # context row
 
-        # value parity of alternative forms vs XLA's vjp
-        ref_d = np.asarray(dgrad_xla(g, xs, w, s), np.float32)
-        if s == 1:
-            alt = np.asarray(dgrad_manual_s1(g, w), np.float32)
-        else:
-            alt = np.asarray(dgrad_phase_s2(g, w), np.float32)
-        err = np.max(np.abs(ref_d - alt)) / (np.max(np.abs(ref_d)) + 1e-9)
+        # value parity of alternative forms vs XLA's vjp — computed ON DEVICE
+        # at a small batch (fetching the full-b128 dgrad would pull GBs over
+        # the tunnel; formulation correctness is batch-independent) and only
+        # the scalar relative error crosses the wire.
+        nb = 4
+        xsm, gsm = x[:nb], g[:nb]
+        xs_sm = (nb,) + xs[1:]
+
+        @jax.jit
+        def _relerr(a, b):
+            a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
+            return jnp.max(jnp.abs(a32 - b32)) / (jnp.max(jnp.abs(a32)) + 1e-9)
+
+        ref_d = dgrad_xla(gsm, xs_sm, w, s)
+        alt = dgrad_manual_s1(gsm, w) if s == 1 else dgrad_phase_s2(gsm, w)
+        err = float(_relerr(ref_d, alt))
         assert err < 2e-2, f"{label}: dgrad parity {err}"  # bf16 reassoc noise
         if s == 2:
-            rw = np.asarray(wgrad_xla(g, x, ws, s), np.float32)
-            aw = np.asarray(wgrad_phase_s2(g, x, ws), np.float32)
-            werr = np.max(np.abs(rw - aw)) / (np.max(np.abs(rw)) + 1e-9)
+            rw = wgrad_xla(gsm, xsm, ws, s)
+            aw = wgrad_phase_s2(gsm, xsm, ws)
+            werr = float(_relerr(rw, aw))
             assert werr < 2e-2, f"{label}: wgrad parity {werr}"
 
         runners = {}
