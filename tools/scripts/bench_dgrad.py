@@ -40,7 +40,7 @@ import numpy as np
 from jax import lax
 
 DN = ("NHWC", "HWIO", "NHWC")
-K1, K2, REPS = 2, 10, 5
+K1, K2, REPS = 2, 20, 5
 
 
 def conv_fwd(x, w, s, pad=1):
@@ -138,7 +138,12 @@ def timed_chain(fn, args, n):
     @jax.jit
     def run(c0, *a):
         def body(c, _):
-            scale = (1 + c * 0).astype(a[0].dtype)  # keep the operand dtype
+            # scale must be DATA-DEPENDENT on the carry: (1 + c*0) constant-
+            # folds to 1 and XLA hoists the whole op out of the scan (first
+            # run of this bench timed empty loops — 0.1 ms "dgrads" with
+            # 419 MB outputs). 1 + c*1e-30 rounds to exactly 1.0 in bf16 at
+            # runtime but is not provably 1 at compile time.
+            scale = (1 + c * 1e-30).astype(a[0].dtype)
             out = fn(a[0] * scale, *a[1:])
             return c + jnp.sum(out.astype(jnp.float32)) * 1e-30, None
         return lax.scan(body, c0, None, length=n)[0]
@@ -168,14 +173,18 @@ def main() -> None:
         gshape = (xs[0], xs[1] // s, xs[2] // s, ws[3])
         g = jnp.asarray(rng.standard_normal(gshape), dt)
 
-        arms = {"dgrad_xla": lambda gg: dgrad_xla(gg, xs, w, s)}
+        # NOTE: every big tensor must be an explicit ARG — a closed-over
+        # device array is lifted to an HLO constant, and the l1-case x
+        # (419 MB) blows the remote-compile tunnel's request-size limit
+        # (HTTP 413). Closing over w (a few KB) is fine.
+        arms = {"dgrad_xla": (lambda gg: dgrad_xla(gg, xs, w, s), (g,))}
         if s == 1:
-            arms["dgrad_manual"] = lambda gg: dgrad_manual_s1(gg, w)
+            arms["dgrad_manual"] = (lambda gg: dgrad_manual_s1(gg, w), (g,))
         else:
-            arms["dgrad_phase"] = lambda gg: dgrad_phase_s2(gg, w)
-            arms["wgrad_xla"] = lambda gg: wgrad_xla(gg, x, ws, s)
-            arms["wgrad_phase"] = lambda gg: wgrad_phase_s2(gg, x, ws)
-        arms["fwd_ref"] = lambda xx: conv_fwd(xx, w, s)  # context row
+            arms["dgrad_phase"] = (lambda gg: dgrad_phase_s2(gg, w), (g,))
+            arms["wgrad_xla"] = (lambda gg, xx: wgrad_xla(gg, xx, ws, s), (g, x))
+            arms["wgrad_phase"] = (lambda gg, xx: wgrad_phase_s2(gg, xx, ws), (g, x))
+        arms["fwd_ref"] = (lambda xx: conv_fwd(xx, w, s), (x,))  # context row
 
         # value parity of alternative forms vs XLA's vjp — computed ON DEVICE
         # at a small batch (fetching the full-b128 dgrad would pull GBs over
@@ -201,8 +210,7 @@ def main() -> None:
             assert werr < 2e-2, f"{label}: wgrad parity {werr}"
 
         runners = {}
-        for name, fn in arms.items():
-            a = (x,) if name == "fwd_ref" else (g,)
+        for name, (fn, a) in arms.items():
             runners[name] = (timed_chain(fn, a, K1), timed_chain(fn, a, K2))
 
         res = {name: [] for name in runners}
