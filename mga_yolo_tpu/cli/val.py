@@ -160,7 +160,7 @@ def main(argv=None) -> None:
     validator = Validator(eval_fn, dl, cfg, conf_thres=args.conf,
                           iou_thres=args.iou, max_det=args.max_det)
     out_dir = None
-    if args.plots or args.save_json:
+    if args.out or args.plots or args.save_json:
         out_dir = increment_path(Path(args.out) if args.out else Path("runs") / "val")
         out_dir.mkdir(parents=True, exist_ok=True)
     result = validator(
@@ -172,6 +172,13 @@ def main(argv=None) -> None:
     speed_str = ", ".join(f"{k} {v:.1f}ms" for k, v in result.speed.items())
     print(f"speed: {speed_str} per image")
     print(json.dumps(result.results_dict(), indent=2))
+    if out_dir is not None:
+        # machine-readable record (metrics + speed), so harnesses like
+        # tools/scripts/int8_demo.sh can tabulate artifact accuracy without
+        # scraping stdout (reference validator saves to save_dir similarly)
+        with open(out_dir / "metrics.json", "w") as f:
+            json.dump({**result.results_dict(), "speed": result.speed}, f, indent=2)
+        print(f"[mga-val] metrics -> {out_dir / 'metrics.json'}")
 
 
 if __name__ == "__main__":

@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from mga_yolo_tpu import perf
-from mga_yolo_tpu.ops.boxes import bbox2dist, bbox_iou_ciou, dist2bbox, make_anchors
+from mga_yolo_tpu.ops.boxes import (
+    bbox2dist_p,
+    bbox_iou_ciou_p,
+    dist2bbox_p,
+    make_anchors,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,21 +116,22 @@ def _kth_largest(x: jax.Array, k: int) -> jax.Array:
 
 
 def task_aligned_assigner(
-    pd_scores: jax.Array,   # (B, A, nc) — sigmoided class scores
-    pd_bboxes: jax.Array,   # (B, A, 4) xyxy, image units
-    anc_points: jax.Array,  # (A, 2), image units
-    gt_labels: jax.Array,   # (B, M) int
-    gt_bboxes: jax.Array,   # (B, M, 4) xyxy, image units
-    mask_gt: jax.Array,     # (B, M) bool/0-1 valid flags
+    pd_scores: jax.Array,    # (B, A, nc) — sigmoided class scores
+    pd_bboxes_p: jax.Array,  # (4, B, A) xyxy PLANAR, image units (layout note in ops/boxes.py)
+    anc_points: jax.Array,   # (A, 2), image units
+    gt_labels: jax.Array,    # (B, M) int
+    gt_bboxes: jax.Array,    # (B, M, 4) xyxy, image units
+    mask_gt: jax.Array,      # (B, M) bool/0-1 valid flags
     num_classes: int,
     topk: int = 10,
     alpha: float = 0.5,
     beta: float = 6.0,
     eps: float = 1e-9,
 ):
-    """Returns (target_bboxes (B,A,4), target_scores (B,A,nc), fg_mask (B,A))."""
+    """Returns (target_bboxes_p (4,B,A), target_scores (B,A,nc), fg_mask (B,A))."""
     B, A, nc = pd_scores.shape
     M = gt_bboxes.shape[1]
+    gt_bboxes_p = gt_bboxes.transpose(2, 0, 1)  # (4,B,M) — M is tiny, free
     mask_gt_f = mask_gt.astype(pd_scores.dtype)  # (B,M)
 
     # ---- candidate mask: anchor centers inside valid gt boxes ----
@@ -137,7 +143,9 @@ def task_aligned_assigner(
     onehot = jax.nn.one_hot(gt_labels, nc, dtype=pd_scores.dtype)  # (B,M,nc)
     bbox_scores = jnp.einsum("bac,bmc->bma", pd_scores, onehot) * cand
     overlaps = (
-        jnp.clip(bbox_iou_ciou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :]), 0, None)
+        jnp.clip(
+            bbox_iou_ciou_p(gt_bboxes_p[:, :, :, None], pd_bboxes_p[:, :, None, :]), 0, None
+        )
         * cand
     )  # (B,M,A)
     align_metric = _fast_pow(bbox_scores, alpha) * _fast_pow(overlaps, beta)
@@ -181,7 +189,7 @@ def task_aligned_assigner(
     # tiny so the (B,A,M) selection matmul is effectively free and exact
     # (one 1.0 per row, finite operands).
     sel = jax.nn.one_hot(target_gt_idx, M, dtype=pd_scores.dtype)  # (B,A,M)
-    tb = jnp.einsum("bam,bmf->baf", sel, gt_bboxes)  # (B,A,4)
+    tb_p = jnp.einsum("bam,fbm->fba", sel, gt_bboxes_p)  # (4,B,A) planar
     # labels route through fp32 regardless of pd_scores.dtype: in bf16 class
     # ids > 256 would round silently (bf16 integer-exactness limit)
     sel32 = jax.nn.one_hot(target_gt_idx, M, dtype=jnp.float32)
@@ -195,7 +203,7 @@ def task_aligned_assigner(
     norm = (align_metric * pos_overlap / (pos_align + eps)).max(-2)[..., None]  # (B,A,1)
     target_scores = target_scores * norm
 
-    return tb, target_scores, fg_mask
+    return tb_p, target_scores, fg_mask
 
 
 def flatten_det_maps(det_maps: Sequence[jax.Array], reg_max: int, nc: int):
@@ -337,9 +345,15 @@ def _dfl_ce_bwd(res, g_dfl):
 dfl_ce.defvjp(_dfl_ce_fwd, _dfl_ce_bwd)
 
 
+def _dfl_decode_primal_p(pd: jax.Array) -> jax.Array:
+    """Planar decode: (B,A,4,R) logits -> (4,B,A) expectation (layout note
+    in ops/boxes.py — a materialized (B,A,4) f32 pays a 32x lane-pad tax)."""
+    return _dfl_decode_primal(pd).transpose(2, 0, 1)
+
+
 @jax.custom_vjp
-def dfl_decode_ce(pd: jax.Array, target: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Fused decode + CE: ``(ltrb, ce) = (dfl_decode(pd), dfl_ce(pd, target))``.
+def dfl_decode_ce(pd: jax.Array, target_p: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Fused decode + CE: ``(ltrb_p, ce) = (decode(pd) planar, dfl_ce(pd, t))``.
 
     One custom VJP instead of two: the separate decode/CE VJPs each stream
     the full (B,A,4,R) pd tensor and emit a (B,A,4,R) cotangent, which XLA
@@ -349,21 +363,33 @@ def dfl_decode_ce(pd: jax.Array, target: jax.Array) -> tuple[jax.Array, jax.Arra
 
         dz = p * ((proj - ltrb) * g_ltrb + g_ce/4) - q * g_ce/4
 
+    All (·,·,4)-shaped io is PLANAR (4,B,A) — target_p in, ltrb_p out, and
+    the backward's g_ltrb cotangent arrives planar — so no lane-padded
+    (B,A,4) tensor ever materializes at a fusion boundary (round-5 byte
+    census: three such tensors cost ~550 MB apiece vs 17 MB logical).
+
     Requires ``target`` at call time — callers that feed the assigner from
     the decode output should use a ``stop_gradient`` re-evaluation of the
     primal for that (value-identical; XLA CSEs it with this forward).
     """
-    return _dfl_decode_primal(pd), _dfl_ce_primal(pd, target)
+    return _dfl_decode_primal_p(pd), _dfl_ce_primal(pd, target_p.transpose(1, 2, 0))
 
 
-def _dfl_decode_ce_fwd(pd, target):
-    ltrb = _dfl_decode_primal(pd)
-    return (ltrb, _dfl_ce_primal(pd, target)), (pd, ltrb, target)
+def _dfl_decode_ce_fwd(pd, target_p):
+    ltrb_p = _dfl_decode_primal_p(pd)
+    ce = _dfl_ce_primal(pd, target_p.transpose(1, 2, 0))
+    return (ltrb_p, ce), (pd, ltrb_p, target_p)
 
 
 def _dfl_decode_ce_bwd(res, gs):
-    pd, ltrb, target = res
-    g_ltrb, g_ce = gs
+    pd, ltrb_p, target_p = res
+    g_ltrb_p, g_ce = gs
+    # the planar residuals/cotangents re-enter batch-major INSIDE the fused
+    # backward (transposes fuse as index permutations; only the planar
+    # fusion-boundary tensors are materialized)
+    ltrb = ltrb_p.transpose(1, 2, 0)
+    target = target_p.transpose(1, 2, 0)
+    g_ltrb = g_ltrb_p.transpose(1, 2, 0)
     reg_max = pd.shape[-1]
     # TPU path: one Pallas pass over pd (ops/pallas/dfl_bwd.py) — XLA lowers
     # this same math to a batch-minor kLoop fusion ~9x off bandwidth SoL
@@ -431,15 +457,19 @@ def v8_detection_loss(
     # runs off a stop-gradient re-evaluation of the decode primal; the
     # gradient-carrying decode happens inside the fused dfl_decode_ce below
     # (one backward pass over pd instead of two + an add_any merge). XLA
-    # CSEs the two identical primal computations.
+    # CSEs the two identical primal computations. All box/ltrb tensors are
+    # PLANAR (4,B,A) — see ops/boxes.py layout note (32x lane-pad tax on a
+    # materialized (B,A,4); round-5 whole-step byte census, BASELINE.md).
     pd = pred_distri.reshape(B, A, 4, reg_max)
-    ltrb_sg = jax.lax.stop_gradient(_dfl_decode_primal(pd))
-    pred_bboxes_sg = dist2bbox(ltrb_sg, anchor_points[None], xywh=False)  # (B,A,4)
+    anc_p = anchor_points.T[:, None, :]          # (2,1,A) planar centers
+    stride_a = stride_tensor[:, 0]               # (A,)
+    ltrb_sg_p = jax.lax.stop_gradient(_dfl_decode_primal_p(pd))
+    pred_bboxes_sg_p = dist2bbox_p(ltrb_sg_p, anc_p, xywh=False)  # (4,B,A)
 
-    target_bboxes, target_scores, fg_mask = jax.lax.stop_gradient(
+    target_bboxes_p, target_scores, fg_mask = jax.lax.stop_gradient(
         task_aligned_assigner(
             jax.nn.sigmoid(jax.lax.stop_gradient(pred_scores)),
-            pred_bboxes_sg * stride_tensor,
+            pred_bboxes_sg_p * stride_a,
             anchor_points * stride_tensor,
             gt_labels,
             gt_bboxes,
@@ -458,13 +488,13 @@ def v8_detection_loss(
     loss_cls = bce.sum() / target_scores_sum
 
     # ---- box + dfl through the single fused decode/CE VJP ----
-    tb_feat = target_bboxes / stride_tensor
+    tb_feat_p = target_bboxes_p / stride_a  # (4,B,A)
     weight = target_scores.sum(-1) * fg_mask  # (B,A)
-    target_ltrb = bbox2dist(anchor_points[None], tb_feat, reg_max - 1)  # (B,A,4)
-    ltrb, per_anchor_dfl = dfl_decode_ce(pd, jax.lax.stop_gradient(target_ltrb))
-    pred_bboxes = dist2bbox(ltrb, anchor_points[None], xywh=False)  # (B,A,4)
+    target_ltrb_p = bbox2dist_p(anc_p, tb_feat_p, reg_max - 1)  # (4,B,A)
+    ltrb_p, per_anchor_dfl = dfl_decode_ce(pd, jax.lax.stop_gradient(target_ltrb_p))
+    pred_bboxes_p = dist2bbox_p(ltrb_p, anc_p, xywh=False)  # (4,B,A)
 
-    iou = bbox_iou_ciou(pred_bboxes, tb_feat)  # (B,A)
+    iou = bbox_iou_ciou_p(pred_bboxes_p, tb_feat_p)  # (B,A)
     loss_iou = (((1.0 - iou) * weight)).sum() / target_scores_sum
     loss_dfl = (per_anchor_dfl * weight).sum() / target_scores_sum
 

@@ -22,8 +22,10 @@ graph).
 Defaults are the measured winners (BASELINE.md):
   * ``kth_impl="iter"`` — tie-exact iterative k-th largest, −5.4 ms/step vs
     the ``approx_max_k(recall=1.0)`` full sort at (128,8,8400) (r4 table).
-  * ``dfl_bwd="pallas"`` — one Pallas pass over the (B,A,4·reg_max) pd
-    tensor vs XLA's batch-minor kLoop fusion ~9× off bandwidth SoL.
+  * ``dfl_bwd="xla"`` — since the round-5 planar (4,B,A) loss io, XLA's
+    fused backward beats the r4 Pallas kernel (114.8 vs 119.2 ms/step
+    interleaved: the kernel's (M,8) aux blocking lane-pads 16× and planar
+    io adds transposes on its path; BASELINE.md round-5 A/B).
   * ``vconcat_acc`` / ``vconcat_min_k`` — virtual-concat partial-sum dtype
     and the narrow-part concat fallback threshold (round-5 A/B).
   * ``packed_split="matmul"`` — lane-split via selection matmuls instead of
@@ -41,7 +43,7 @@ class PerfConfig:
     """Implementation selectors for the hot paths. All trace-time constants."""
 
     kth_impl: str = "iter"        # iter | approx   (losses/detection._kth_largest)
-    dfl_bwd: str = "pallas"       # pallas | xla    (losses/detection DFL custom VJP)
+    dfl_bwd: str = "xla"          # xla | pallas    (losses/detection DFL custom VJP)
     vconcat_acc: str = "f32"      # f32 | bf16      (models/layers._Conv1x1Sum partials)
     vconcat_min_k: int = 0        # parts narrower than this take the concat path
     packed_split: str = "matmul"  # matmul | reshape (models/lanepack._split_lanes)

@@ -60,9 +60,9 @@ def test_tal_assigner_parity(rng):
     mask_gt = np.ones((B, M), np.float32)
     mask_gt[0, -1] = 0  # one padded gt
 
-    ours_tb, ours_ts, ours_fg = task_aligned_assigner(
+    ours_tb_p, ours_ts, ours_fg = task_aligned_assigner(
         jnp.asarray(pd_scores),
-        jnp.asarray(pd_bboxes),
+        jnp.asarray(pd_bboxes).transpose(2, 0, 1),  # planar (4,B,A)
         jnp.asarray(anc),
         jnp.asarray(gt_labels),
         jnp.asarray(gt_bboxes),
@@ -94,7 +94,8 @@ def test_tal_assigner_parity(rng):
     )
     both_fg = significant & t_fg.numpy() & (np.asarray(ours_fg) > 0)
     np.testing.assert_allclose(
-        np.asarray(ours_tb)[both_fg], t_tb.numpy()[both_fg], rtol=1e-4, atol=1e-4
+        np.asarray(ours_tb_p).transpose(1, 2, 0)[both_fg], t_tb.numpy()[both_fg],
+        rtol=1e-4, atol=1e-4,
     )
 
 
@@ -189,7 +190,7 @@ def test_tal_degenerate_zero_metric_invariant(rng):
     mask_gt = np.ones((B, M), np.float32)
 
     _, ours_ts, ours_fg = task_aligned_assigner(
-        jnp.asarray(pd_scores), jnp.asarray(pd_bboxes), jnp.asarray(anc),
+        jnp.asarray(pd_scores), jnp.asarray(pd_bboxes).transpose(2, 0, 1), jnp.asarray(anc),
         jnp.asarray(gt_labels), jnp.asarray(gt_bboxes), jnp.asarray(mask_gt),
         nc, topk=10, alpha=0.5, beta=6.0,
     )
@@ -232,7 +233,7 @@ def test_tal_threshold_topk_tie_and_boundary(rng):
 
     def run(pd_scores, pd_bboxes):
         _, ts, fg = task_aligned_assigner(
-            jnp.asarray(pd_scores), jnp.asarray(pd_bboxes), jnp.asarray(anc),
+            jnp.asarray(pd_scores), jnp.asarray(pd_bboxes).transpose(2, 0, 1), jnp.asarray(anc),
             jnp.asarray(gt_labels), jnp.asarray(gt_bboxes), jnp.asarray(mask_gt),
             nc, topk=k, alpha=0.5, beta=6.0,
         )
@@ -260,7 +261,8 @@ def test_tal_threshold_topk_tie_and_boundary(rng):
     small_gt = np.asarray([[[0.0, 0.0, 17.0, 9.0]]], np.float32)  # centers (4,4),(12,4)
     small_pred = np.tile(small_gt[0], (A, 1))[None]
     _, ts, fgv = task_aligned_assigner(
-        jnp.asarray(tied[None, :, None]), jnp.asarray(small_pred), jnp.asarray(anc),
+        jnp.asarray(tied[None, :, None]), jnp.asarray(small_pred).transpose(2, 0, 1),
+        jnp.asarray(anc),
         jnp.asarray(gt_labels), jnp.asarray(small_gt), jnp.asarray(mask_gt),
         nc, topk=k, alpha=0.5, beta=6.0,
     )
@@ -330,8 +332,10 @@ def test_dfl_fused_decode_ce_matches_separate(rng):
     w = jnp.asarray(rng.uniform(0, 1, (B, A)), jnp.float32)
 
     def fused(z):
-        ltrb, ce = dfl_decode_ce(z, target)
-        return jnp.sin(ltrb).sum() + (ce * w).sum()
+        # planar io: target in as (4,B,A), ltrb out as (4,B,A); the sin-sum
+        # scalarization is permutation-invariant so values still match
+        ltrb_p, ce = dfl_decode_ce(z, target.transpose(2, 0, 1))
+        return jnp.sin(ltrb_p).sum() + (ce * w).sum()
 
     def separate(z):
         return jnp.sin(dfl_decode(z)).sum() + (dfl_ce(z, target) * w).sum()

@@ -78,14 +78,15 @@ def main() -> None:
         proj = jnp.arange(REG, dtype=jnp.float32)
         ltrb = (jax.nn.softmax(pd, axis=-1) * proj).sum(-1)
         pred_bboxes = dist2bbox(ltrb, anc[None], xywh=False)
-        tb, ts, fg = jax.lax.stop_gradient(
+        tb_p, ts, fg = jax.lax.stop_gradient(
             task_aligned_assigner(
                 jax.nn.sigmoid(jax.lax.stop_gradient(pred_scores)),
-                jax.lax.stop_gradient(pred_bboxes) * stride_t,
+                (jax.lax.stop_gradient(pred_bboxes) * stride_t).transpose(2, 0, 1),
                 anc * stride_t, gt_labels, gt_boxes, mask_gt, NC,
             )
         )
-        return pred_distri, pred_scores, pd, pred_bboxes, tb, ts, fg
+        # this decomposition bench keeps the legacy (B,A,4) view downstream
+        return pred_distri, pred_scores, pd, pred_bboxes, tb_p.transpose(1, 2, 0), ts, fg
 
     def full(maps, salt=0.0):
         maps = [m + salt for m in maps]

@@ -81,7 +81,8 @@ def main() -> None:
     @jax.jit
     def f_assigner(pd_scores, pd_boxes, gt_boxes, gt_labels, mask_gt, salt=0.0):
         tb, ts, fg = task_aligned_assigner(
-            pd_scores + salt, pd_boxes, anc * stride_t, gt_labels, gt_boxes, mask_gt, NC
+            pd_scores + salt, pd_boxes.transpose(2, 0, 1),  # planar (4,B,A)
+            anc * stride_t, gt_labels, gt_boxes, mask_gt, NC
         )
         return tb.sum() + ts.sum() + fg.sum()
 

@@ -32,21 +32,27 @@ fi
 BEST="$OUT/runs/demo/weights/best"
 
 # checkpoint-reference mAP
-env JAX_PLATFORMS=cpu python -m mga_yolo_tpu.cli.val \
-  --weights "$BEST" --data "$OUT/ds/data.yaml" --batch 8 \
-  --out "$OUT/val_ckpt" | tail -3
+if [ ! -f "$OUT/val_ckpt/metrics.json" ]; then
+  env JAX_PLATFORMS=cpu python -m mga_yolo_tpu.cli.val \
+    --weights "$BEST" --data "$OUT/ds/data.yaml" --batch 8 \
+    --out "$OUT/val_ckpt" | tail -4
+fi
 
 for Q in fp32 fp16 dynamic int8; do
   ART="$OUT/model_${Q}.tflite"
-  QARG=""
-  [ "$Q" != fp32 ] && QARG="--quantize $Q"
-  CARG=""
-  [ "$Q" == int8 ] && CARG="--calib $OUT/ds/images/val"
-  env JAX_PLATFORMS=cpu python -m mga_yolo_tpu.cli.ckpt export-tflite \
-    "$BEST" --out "$ART" $QARG $CARG
-  env JAX_PLATFORMS=cpu python -m mga_yolo_tpu.cli.val \
-    --weights "$ART" --data "$OUT/ds/data.yaml" --batch 8 \
-    --out "$OUT/val_${Q}" | tail -3
+  if [ ! -f "$ART" ]; then
+    QARG=""
+    [ "$Q" != fp32 ] && QARG="--quantize $Q"
+    CARG=""
+    [ "$Q" == int8 ] && CARG="--calib $OUT/ds/images/val"
+    env JAX_PLATFORMS=cpu python -m mga_yolo_tpu.cli.ckpt export-tflite \
+      "$BEST" --out "$ART" $QARG $CARG
+  fi
+  if [ ! -f "$OUT/val_${Q}/metrics.json" ]; then
+    env JAX_PLATFORMS=cpu python -m mga_yolo_tpu.cli.val \
+      --weights "$ART" --data "$OUT/ds/data.yaml" --batch 8 \
+      --out "$OUT/val_${Q}" | tail -4
+  fi
 done
 
 echo "== summary =="
