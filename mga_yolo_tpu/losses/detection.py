@@ -401,12 +401,19 @@ def _dfl_decode_ce_bwd(res, gs):
         and 128 % reg_max == 0
         and (pd.shape[0] * pd.shape[1] * 4 * reg_max) % 128 == 0
     ):
-        from mga_yolo_tpu.ops.pallas.dfl_bwd import HAS_PALLAS, dfl_decode_ce_bwd_pallas
+        from mga_yolo_tpu.ops.pallas.dfl_bwd import (
+            HAS_PALLAS,
+            dfl_decode_ce_bwd_pallas_planar,
+        )
 
         if HAS_PALLAS and jax.default_backend() == "tpu":
-            dz = dfl_decode_ce_bwd_pallas(
-                pd, ltrb.astype(jnp.float32), g_ltrb.astype(jnp.float32),
-                g_ce.astype(jnp.float32), target.astype(jnp.float32),
+            # v2 kernel: consumes the planar residuals/cotangents directly
+            # (zero-lane-pad (nseg, M) aux packing) — the v1 (M,8) packing
+            # lane-padded 16x and measured slower than XLA's fusion under
+            # planar io (BASELINE.md round-5 A/B)
+            dz = dfl_decode_ce_bwd_pallas_planar(
+                pd, ltrb_p.astype(jnp.float32), g_ltrb_p.astype(jnp.float32),
+                g_ce.astype(jnp.float32), target_p.astype(jnp.float32),
             )
             return dz, None
     proj = jnp.arange(reg_max, dtype=jnp.float32)

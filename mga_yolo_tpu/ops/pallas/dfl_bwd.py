@@ -137,3 +137,113 @@ def dfl_decode_ce_bwd_pallas(
         interpret=interpret,
     )(pd2, padded(ltrb), padded(g_ltrb), padded(gs), padded(target))
     return dz[:M].reshape(B, A, four, R)
+
+
+# ---------------------------------------------------------------- planar v2
+#
+# Round-5: the loss carries (·,·,4) quantities PLANAR as (4,B,A) f32
+# (ops/boxes.py layout note). The v1 wrapper above reshapes each aux to
+# (M, 8) — minor dim 8 lane-pads 16x, so its four aux streams cost ~1.1 GB
+# of the train step (whole-step byte census, BASELINE.md round 5) and the
+# planar A/B measured the v1 path SLOWER than XLA's fusion (119.2 vs
+# 114.8 ms/step). v2 takes the planar tensors directly: aux are packed
+# host-side into (nseg, M) f32 — minor dim M, zero pad — by a cheap 17 MB
+# relayout, and the kernel's segment-expand contracts over dim 0 instead
+# of transposing. Same math, same S matrix, bit-identical dz.
+
+
+def _kernel_planar(pd_ref, ltrb_ref, g_ref, gs_ref, tgt_ref, out_ref, *, R: int):
+    x = pd_ref[:].astype(jnp.float32)                 # (T, 128)
+    T = x.shape[0]
+    nseg = 128 // R
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+    proj = (lane % R).astype(jnp.float32)
+
+    seg_of_lane = jax.lax.broadcasted_iota(jnp.int32, (nseg, 128), 1) // R
+    seg_id = jax.lax.broadcasted_iota(jnp.int32, (nseg, 128), 0)
+    S = (seg_of_lane == seg_id).astype(jnp.float32)   # (nseg, 128)
+
+    def expand_t(a8t):  # (nseg, T) -> (T, 128): contract the seg dim with S
+        return jax.lax.dot_general(
+            a8t, S, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    m8 = jnp.concatenate(
+        [jnp.max(x[:, s * R:(s + 1) * R], axis=1, keepdims=True) for s in range(nseg)],
+        axis=1,
+    )                                                  # (T, nseg)
+    e = jnp.exp(x - jax.lax.dot_general(               # expand via (T,nseg)@S
+        m8, S, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32))
+    z8 = jax.lax.dot_general(
+        e, S.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = e / jax.lax.dot_general(
+        z8, S, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    tgt = jnp.clip(expand_t(tgt_ref[:].astype(jnp.float32)), 0.0, R - 1 - 0.01)
+    tl = jnp.floor(tgt)
+    wl = (tl + 1.0) - tgt
+    q = jnp.where(proj == tl, wl, 0.0) + jnp.where(proj == tl + 1.0, 1.0 - wl, 0.0)
+
+    ltrb = expand_t(ltrb_ref[:].astype(jnp.float32))
+    g = expand_t(g_ref[:].astype(jnp.float32))
+    gs = expand_t(gs_ref[:].astype(jnp.float32))
+    dz = p * ((proj - ltrb) * g + gs) - q * gs
+    out_ref[:] = dz.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dfl_decode_ce_bwd_pallas_planar(
+    pd: jax.Array,        # (B, A, 4, R) any float dtype — dz returned in same
+    ltrb_p: jax.Array,    # (4, B, A) f32 planar decode expectation
+    g_ltrb_p: jax.Array,  # (4, B, A) f32 planar decode-output cotangent
+    g_ce: jax.Array,      # (B, A) f32 per-anchor CE cotangent
+    target_p: jax.Array,  # (4, B, A) f32 planar DFL target
+    interpret: bool = False,
+) -> jax.Array:
+    """dz (B,A,4,R) from PLANAR aux. Mapping proof: pd2 row t lane l is bin
+    l%R of side-index i = (128t+l)//R = nseg*t + l//R; packing a planar aux
+    (4, B*A) via reshape(4, M, par).transpose(par, 4, M).reshape(nseg, M)
+    puts aux_host[j, m] = aux_p[j % 4, par*m_stride...] = side 8m+j's value,
+    exactly segment j of row m (par = j // 4, s = j % 4,
+    i = (par*m... ) = nseg*m + j). Bit-identical to the v1 (M,8) packing."""
+    B, A, four, R = pd.shape
+    total = B * A * four * R
+    assert four == 4 and 128 % R == 0 and total % 128 == 0, (pd.shape,)
+    M = total // 128
+    nseg = 128 // R
+    par = nseg // four  # sides per row / 4 coords = anchor pairs per row (2)
+
+    pd2 = pd.reshape(M, 128)
+
+    def pack(a_p):  # (4, B, A) f32 -> (nseg, M), minor dim M: zero lane pad
+        return (
+            a_p.reshape(four, M, par).transpose(2, 0, 1).reshape(nseg, M)
+        ).astype(jnp.float32)
+
+    gs_p = jnp.broadcast_to((g_ce / 4.0)[None], (four, B, A))
+
+    grid = (M + _ROWS - 1) // _ROWS
+    pad = grid * _ROWS - M
+    if pad:
+        pd2 = jnp.pad(pd2, ((0, pad), (0, 0)))
+        packed = lambda a: jnp.pad(pack(a), ((0, 0), (0, pad)))
+    else:
+        packed = pack
+
+    dz = pl.pallas_call(
+        functools.partial(_kernel_planar, R=R),
+        out_shape=jax.ShapeDtypeStruct((grid * _ROWS, 128), pd.dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nseg, _ROWS), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nseg, _ROWS), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nseg, _ROWS), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nseg, _ROWS), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(pd2, packed(ltrb_p), packed(g_ltrb_p), packed(gs_p), packed(target_p))
+    return dz[:M].reshape(B, A, four, R)

@@ -76,3 +76,52 @@ def test_dfl_bwd_kernel_ragged_rows():
     want = _reference_dz(pd, ltrb, g_ltrb, g_ce, target)
     got = dfl_decode_ce_bwd_pallas(pd, ltrb, g_ltrb, g_ce, target, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.skipif(not HAS_PALLAS, reason="pallas unavailable")
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_dfl_bwd_planar_kernel_matches_jnp(dtype):
+    """v2 kernel (planar (4,B,A) aux, (nseg,M) zero-pad packing) must equal
+    the jnp reference exactly like v1 — same math, different packing."""
+    from mga_yolo_tpu.ops.pallas.dfl_bwd import dfl_decode_ce_bwd_pallas_planar
+
+    rng = np.random.default_rng(2)
+    B, A, R = 2, 84, 16
+    pd = jnp.asarray(rng.normal(0, 3, (B, A, 4, R)), dtype)
+    ltrb = _dfl_decode_primal(pd).astype(jnp.float32)
+    g_ltrb = jnp.asarray(rng.normal(0, 1, (B, A, 4)), jnp.float32)
+    g_ce = jnp.asarray(rng.uniform(0, 2, (B, A)), jnp.float32)
+    target = jnp.asarray(rng.uniform(0, R - 1, (B, A, 4)), jnp.float32)
+    target = target.at[0, :4].set(jnp.floor(target[0, :4]))
+    pd = pd.at[0, 0].set(40.0).at[0, 1].set(-40.0)
+
+    want = _reference_dz(pd, ltrb, g_ltrb, g_ce, target)
+    got = dfl_decode_ce_bwd_pallas_planar(
+        pd, ltrb.transpose(2, 0, 1), g_ltrb.transpose(2, 0, 1), g_ce,
+        target.transpose(2, 0, 1), interpret=True,
+    )
+    assert got.dtype == pd.dtype and got.shape == pd.shape
+    rtol, atol = (2e-6, 2e-6) if dtype == jnp.float32 else (8e-3, 2e-4)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=rtol, atol=atol,
+    )
+
+
+@pytest.mark.skipif(not HAS_PALLAS, reason="pallas unavailable")
+def test_dfl_bwd_planar_kernel_ragged_rows():
+    from mga_yolo_tpu.ops.pallas.dfl_bwd import dfl_decode_ce_bwd_pallas_planar
+
+    rng = np.random.default_rng(3)
+    B, A, R = 1, 1050, 16  # M = 525 -> grid 2, pad 499
+    pd = jnp.asarray(rng.normal(0, 2, (B, A, 4, R)), jnp.float32)
+    ltrb = _dfl_decode_primal(pd)
+    g_ltrb = jnp.asarray(rng.normal(0, 1, (B, A, 4)), jnp.float32)
+    g_ce = jnp.asarray(rng.uniform(0, 2, (B, A)), jnp.float32)
+    target = jnp.asarray(rng.uniform(0, R - 1, (B, A, 4)), jnp.float32)
+    want = _reference_dz(pd, ltrb, g_ltrb, g_ce, target)
+    got = dfl_decode_ce_bwd_pallas_planar(
+        pd, ltrb.transpose(2, 0, 1), g_ltrb.transpose(2, 0, 1), g_ce,
+        target.transpose(2, 0, 1), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6)
