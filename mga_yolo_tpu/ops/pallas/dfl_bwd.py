@@ -218,9 +218,18 @@ def dfl_decode_ce_bwd_pallas_planar(
     pd2 = pd.reshape(M, 128)
 
     def pack(a_p):  # (4, B, A) f32 -> (nseg, M), minor dim M: zero lane pad
-        return (
-            a_p.reshape(four, M, par).transpose(2, 0, 1).reshape(nseg, M)
-        ).astype(jnp.float32)
+        # parity-strided slices instead of reshape(4,M,par).transpose(...):
+        # the (4,M,par) view puts par=2 on the MINOR dim (64x lane pad) and
+        # its transpose materialized as two 0.76 ms copies (round-5 trace).
+        # lax.slice with stride keeps the minor dim M -> no padded
+        # intermediate; rows [q*4+s] = a_p[s, q::par] is exactly the
+        # packing proven in the docstring.
+        flat = a_p.reshape(four, M * par).astype(jnp.float32)
+        groups = [
+            jax.lax.slice(flat, (0, q), (four, M * par), (1, par))
+            for q in range(par)
+        ]
+        return jnp.concatenate(groups, axis=0)  # (nseg, M)
 
     gs_p = jnp.broadcast_to((g_ce / 4.0)[None], (four, B, A))
 
