@@ -68,9 +68,24 @@ def _kernel(x_ref, m_ref, msum_ref, wsum_ref, gsum_ref, mmax_ref, cnt_ref):
         mmax_ref[0] = jnp.maximum(mmax_ref[0], part_max)
 
 
+def _rows_tile_for(N: int, cap: int = 1024, default: int = 512) -> int:
+    """Largest multiple-of-16 divisor of N up to ``cap`` — a row tile that
+    divides N exactly needs NO host-side pad. The jnp.pad fallback copies
+    the whole (B,N,C) tensor (2x 0.64 ms at P3 b128/640 — the two biggest
+    non-conv rows of the round-5 eval attribution, docs/perf/attr_eval_r5.txt);
+    every standard YOLO grid (80²=6400 -> 800, 40²=1600 -> 800, 20²=400 ->
+    400) has an exact tile, so the pad path survives only for odd shapes."""
+    for t in range(min(cap, N) // 16 * 16, 15, -16):
+        if N % t == 0:
+            return t
+    return default
+
+
 def _reductions_pallas(x2: jax.Array, m2: jax.Array, rows_tile: int = 512):
     """x2 (B, N, C), m2 (B, N, 1) -> (msum, wsum, gsum, mmax, cnt) per batch."""
     B, N, C = x2.shape
+    if N % rows_tile:
+        rows_tile = _rows_tile_for(N, default=rows_tile)
     n_tiles = max(1, -(-N // rows_tile))
     pad = n_tiles * rows_tile - N
     if pad:
@@ -273,6 +288,8 @@ def _cam_kernel_factory(n_tiles: int, n_real: int, tiny_thr: float, eps: float):
 def _cam_gate_pallas(x2, m2, w1, b1, w2, b2, tiny_thr, eps, rows_tile: int = 512):
     B, N, C = x2.shape
     hidden = w1.shape[1]
+    if N % rows_tile:
+        rows_tile = _rows_tile_for(N, default=rows_tile)
     n_tiles = max(1, -(-N // rows_tile))
     pad = n_tiles * rows_tile - N
     if pad:
