@@ -414,3 +414,57 @@ def plot_confusion_matrix(matrix: np.ndarray, names: Dict[int, str],
     fig.savefig(out, dpi=180)
     plt.close(fig)
     return out
+
+
+def mask_showcase_precomputed(
+    input_dir: str | Path,
+    out_dir: str | Path,
+    prefix: str | None = None,
+    keep_order: bool = False,
+) -> list[Path]:
+    """Assemble side-by-side panels from PRE-COMPUTED downsampled masks.
+
+    Directory contract matches the reference
+    (`/root/reference/mga_yolo/utils/plotting/mask_showcase_precomputed.py`):
+    ``input_dir/<method>/*_p{3,4,5}.png``; one output PNG per pyramid level
+    with columns = methods, images used exactly as found (no thresholding,
+    ``interpolation='none'``), tickless axes, leftmost ylabel "P{n}\\n(HxW)".
+    Method columns are sorted alphabetically unless ``keep_order`` (then
+    filesystem iteration order); ``prefix`` filters filenames when given.
+    """
+    from PIL import Image
+
+    input_dir, out_dir = Path(input_dir), Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    methods = [d for d in input_dir.iterdir() if d.is_dir() and any(d.iterdir())]
+    if not keep_order:
+        methods = sorted(methods, key=lambda d: d.name)
+    outs: list[Path] = []
+    for level in ("p3", "p4", "p5"):
+        cols = []
+        for mdir in methods:
+            cands = sorted(
+                f for f in mdir.iterdir()
+                if f.name.lower().endswith(f"_{level}.png")
+                and (prefix is None or f.name.startswith(prefix))
+            )
+            if cands:
+                cols.append((mdir.name, np.asarray(Image.open(cands[0]))))
+        if not cols:
+            continue
+        fig, axes = plt.subplots(1, len(cols), figsize=(2.2 * len(cols), 2.4), squeeze=False)
+        for j, (name, img) in enumerate(cols):
+            ax = axes[0][j]
+            ax.imshow(img, cmap="gray", interpolation="none")
+            ax.set_title(name, fontsize=8)
+            ax.set_xticks([])
+            ax.set_yticks([])
+            if j == 0:
+                h, w = img.shape[:2]
+                ax.set_ylabel(f"{level.upper()}\n({h}x{w})", fontsize=9)
+        fig.tight_layout()
+        out = out_dir / f"showcase_{level}.png"
+        fig.savefig(out, dpi=180)
+        plt.close(fig)
+        outs.append(out)
+    return outs

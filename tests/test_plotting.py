@@ -106,3 +106,22 @@ def test_model_comparison_fold_bands(tmp_path):
             for m in ("cbam_n", "eca_n") for f in range(2)}
     outs = model_comparison(runs, tmp_path / "cmp_folds", fold_bands=True)
     assert len(outs) == 3 and all(o.exists() for o in outs)
+
+
+def test_mask_showcase_precomputed(tmp_path):
+    """Reference mask_showcase_precomputed.py contract: method dirs with
+    *_p{3,4,5}.png in, one panel PNG per level out."""
+    from PIL import Image
+
+    from mga_yolo_tpu.utils.plotting.results import mask_showcase_precomputed
+
+    rng = np.random.default_rng(0)
+    for meth in ("nearest", "maxpool"):
+        d = tmp_path / "in" / meth
+        d.mkdir(parents=True)
+        for lvl, size in (("p3", 16), ("p4", 8), ("p5", 4)):
+            img = (rng.random((size, size)) > 0.5).astype(np.uint8) * 255
+            Image.fromarray(img).save(d / f"x_{lvl}.png")
+    outs = mask_showcase_precomputed(tmp_path / "in", tmp_path / "out")
+    assert [o.name for o in outs] == ["showcase_p3.png", "showcase_p4.png", "showcase_p5.png"]
+    assert all(o.stat().st_size > 0 for o in outs)
